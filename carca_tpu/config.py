@@ -1,0 +1,202 @@
+"""Typed configuration for models, data, and training.
+
+Replaces the reference's argparse-only flag system (``scripts/training.py:32-63``)
+with frozen dataclasses, named presets for the five BASELINE.json configs, and an
+``args.json``-compatible dump (``scripts/training.py:108-110``). Fixes the
+reference's ``type=bool`` argparse footgun (``scripts/training.py:48-49,56,58`` —
+any string parsed as True) by parsing booleans strictly.
+
+Defaults mirror the reference CLI defaults (``scripts/training.py:40-63``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+EMBEDDINGS = ("all", "attrctx", "attr", "id", "mlpid")
+ENCODINGS = ("identity", "learnable", "positional")
+DECODERS = ("ca", "dot", "wdot")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters.
+
+    Shapes/dimensions follow the reference CLI (``scripts/training.py:40-63``):
+    ``d`` is the model width (``--d_dim``), ``g`` the feature-fusion hidden
+    width (``--g_dim``).
+
+    ``n_items`` counts the pad row: item id 0 is the universal pad
+    (``src/data.py:28-35`` prepends a zero attribute row; ``src/utils.py:6-7``
+    treats id 0 as masked everywhere).
+    """
+
+    n_items: int
+    n_attrs: int
+    n_ctx: int
+    d: int = 64
+    g: int = 256
+    seq_len: int = 50
+    target_len: int = 100  # eval candidates = target_len + 1 (src/data.py:153)
+    n_blocks: int = 3
+    n_heads: int = 2
+    dropout: float = 0.5
+    embedding: str = "all"  # one of EMBEDDINGS
+    encoding: str = "identity"  # one of ENCODINGS
+    decoder: str = "dot"  # one of DECODERS
+    residual_sa: bool = True
+    residual_ca: bool = True
+    gamma: float = 0.9  # WeightedDotProduct decay (src/carca.py:373)
+    l2_norm: bool = False  # WeightedDotProduct cosine mode (src/carca.py:381-391)
+    # --- TPU-native knobs (no reference counterpart) ---
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly matmuls
+    use_pallas: bool = False  # fused Pallas attention kernels vs jnp oracle
+    remat: bool = False  # jax.checkpoint the encoder stack (HBM for FLOPs)
+
+    def __post_init__(self) -> None:
+        if self.embedding not in EMBEDDINGS:
+            raise ValueError(f"unknown embedding {self.embedding!r}; want one of {EMBEDDINGS}")
+        if self.encoding not in ENCODINGS:
+            raise ValueError(f"unknown encoding {self.encoding!r}; want one of {ENCODINGS}")
+        if self.decoder not in DECODERS:
+            raise ValueError(f"unknown decoder {self.decoder!r}; want one of {DECODERS}")
+        if self.d % self.n_heads != 0:
+            raise ValueError("d must be divisible by n_heads (src/carca.py:208)")
+
+    @property
+    def head_dim(self) -> int:
+        return self.d // self.n_heads
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset location and host-pipeline knobs.
+
+    File formats follow the reference loaders: ``profile_file`` is a text file
+    of ``"user_id item_id"`` lines in temporal order (``src/data.py:38-50``),
+    ``attr_file`` a pickled ``[n_items, n_attrs]`` float array
+    (``src/data.py:28-35``), ``ctx_file`` a pickled ``{(user, item): vec}``
+    dict (``src/data.py:17-25``).
+    """
+
+    data_dir: str = ""
+    profile_file: str = ""
+    attr_file: str = ""
+    ctx_file: str = ""
+    eval_subsample: int = 10_000  # val/test user cap (scripts/training.py:154-157)
+    use_native: bool = True  # C++ batch assembler when built; numpy fallback
+    # on-device negative sampling (rejects vs the visible window, not the full
+    # profile — a documented approximation used for the at-scale configs)
+    device_sampling: bool = False
+    synthetic: bool = False  # deterministic synthetic dataset (tests/bench)
+    synthetic_users: int = 2000
+    synthetic_items: int = 1000
+    synthetic_seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization & loop hyperparameters (reference defaults,
+    ``scripts/training.py:40-59``)."""
+
+    lr: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.98
+    l2_reg: float = 0.0  # torch Adam weight_decay semantics (grad += wd * p)
+    batch_size: int = 256
+    epochs: int = 500
+    early_stop: int = 20
+    top_k: int = 10
+    seed: int = 0
+    verbose: int = 1
+    test: bool = True  # leave-one-out mode flag (src/data.py:59-72)
+    out_dir: str = "results/run"
+    # --- TPU-native knobs ---
+    mesh_shape: Tuple[int, ...] = ()  # () = single device; e.g. (8,) or (4, 2)
+    mesh_axes: Tuple[str, ...] = ("data",)  # e.g. ("data", "model")
+    shard_embeddings: bool = False  # row-shard item/attr tables over 'model'
+    profile: bool = False  # jax.profiler trace annotations
+    checkpoint_resume: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def dump_args_json(self, path: str) -> None:
+        """Write the flat args.json contract (``scripts/training.py:108-110``)."""
+        flat: Dict[str, Any] = {}
+        for section in (self.model, self.data, self.train):
+            for f in dataclasses.fields(section):
+                flat[f.name] = getattr(section, f.name)
+        with open(path, "w") as fh:
+            fh.write(json.dumps(flat, default=str))
+
+
+def _beauty_like(n_items: int, n_attrs: int, n_ctx: int, **model_kw: Any) -> ModelConfig:
+    return ModelConfig(n_items=n_items, n_attrs=n_attrs, n_ctx=n_ctx, **model_kw)
+
+
+def preset(name: str, n_items: int = 0, n_attrs: int = 0, n_ctx: int = 0) -> Config:
+    """Named presets for the five BASELINE.json configs.
+
+    Catalog dimensions (``n_items``/``n_attrs``/``n_ctx``) are dataset
+    properties; pass them in when known, otherwise the loader fills them.
+    """
+    if name == "beauty":  # configs[0]: 2-block d=64, seq 50, 100-neg eval
+        m = _beauty_like(n_items, n_attrs, n_ctx, d=64, n_blocks=2, seq_len=50,
+                         embedding="all", decoder="ca", encoding="identity")
+        return Config(model=m)
+    if name == "games":  # configs[1]: contextual time features, d=128
+        m = _beauty_like(n_items, n_attrs, n_ctx, d=128, n_blocks=2, seq_len=50,
+                         embedding="all", decoder="ca")
+        return Config(model=m)
+    if name == "fashion":  # configs[2]: dense image-attribute vectors
+        m = _beauty_like(n_items, n_attrs, n_ctx, d=128, g=512, n_blocks=2,
+                         seq_len=50, embedding="attrctx", decoder="ca")
+        return Config(model=m)
+    if name == "men":  # configs[3]: long sequences (len 200)
+        m = _beauty_like(n_items, n_attrs, n_ctx, d=64, n_blocks=2, seq_len=200,
+                         embedding="all", decoder="ca", use_pallas=True)
+        return Config(model=m)
+    if name == "synthetic10m":  # configs[4]: sharded tables, full-catalog scoring
+        m = _beauty_like(n_items or 10_000_001, n_attrs or 64, n_ctx or 8,
+                         d=128, n_blocks=2, seq_len=50, embedding="all",
+                         decoder="dot", compute_dtype="bfloat16", use_pallas=True)
+        return Config(
+            model=m,
+            data=DataConfig(synthetic=True, device_sampling=True),
+            train=TrainConfig(mesh_shape=(1, 8), mesh_axes=("data", "model"),
+                              shard_embeddings=True),
+        )
+    if name == "smoke":  # tiny deterministic CPU config for tests
+        m = _beauty_like(n_items or 101, n_attrs or 12, n_ctx or 4, d=16, g=32,
+                         n_blocks=2, n_heads=2, seq_len=10, target_len=20,
+                         dropout=0.1, decoder="ca")
+        return Config(
+            model=m,
+            data=DataConfig(synthetic=True, synthetic_users=200, synthetic_items=100),
+            train=TrainConfig(batch_size=32, epochs=5, early_stop=3),
+        )
+    raise ValueError(f"unknown preset {name!r}")
+
+
+def parse_bool(s: Any) -> bool:
+    """Strict boolean parsing — fixes the reference's ``type=bool`` footgun
+    where ``--residual_sa False`` parsed as True (``scripts/training.py:48``)."""
+    if isinstance(s, bool):
+        return s
+    v = str(s).strip().lower()
+    if v in ("1", "true", "t", "yes", "y"):
+        return True
+    if v in ("0", "false", "f", "no", "n"):
+        return False
+    raise ValueError(f"cannot parse boolean from {s!r}")

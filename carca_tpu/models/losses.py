@@ -1,0 +1,25 @@
+"""Masked binary cross-entropy on probabilities.
+
+Contract (``src/carca.py:437-444``): the model outputs sigmoid
+probabilities, and the loss is
+``−[y·log(ŷ+1e−8) + (1−y)·log(1−ŷ+1e−8)]`` summed under the mask and
+divided by the mask sum. The mask is ``get_mask(o_x)`` over the full
+candidate axis (``src/train.py:92-93``), so padded target slots contribute
+nothing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def masked_bce(
+    y_pred: jnp.ndarray,
+    y_true: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    y_pred = y_pred.astype(jnp.float32)
+    y_true = y_true.astype(jnp.float32)
+    loss = -(y_true * jnp.log(y_pred + eps) + (1.0 - y_true) * jnp.log(1.0 - y_pred + eps))
+    return jnp.sum(loss * mask) / jnp.sum(mask)
