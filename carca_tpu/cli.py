@@ -1,0 +1,131 @@
+"""Experiment driver CLI.
+
+Flag names and defaults mirror the reference (``scripts/training.py:32-63``)
+so existing invocations port directly, with fixes/additions:
+
+* booleans parse strictly (``--residual_sa false`` works; the reference's
+  ``type=bool`` treats any string as True);
+* ``--device`` is accepted-and-ignored (JAX picks the backend; TPU when
+  present);
+* TPU-native flags: ``--compute_dtype``, ``--use_pallas``, ``--mesh``,
+  ``--preset``, ``--synthetic``, ``--resume``.
+
+Usage:
+    python -m carca_tpu.cli --data_dir DATA --profile_file profiles.txt \
+        --attr_file attrs.pkl --ctx_file ctx.pkl --out_dir results/run \
+        --embedding all --decoder ca
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+from carca_tpu.config import (Config, DataConfig, ModelConfig, TrainConfig,
+                              parse_bool, preset)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--profile_file", type=str, default="")
+    p.add_argument("--attr_file", type=str, default="")
+    p.add_argument("--ctx_file", type=str, default="")
+    p.add_argument("--out_dir", type=str, default="results/run")
+
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--seq_len", type=int, default=50)
+    p.add_argument("--n_blocks", type=int, default=3)
+    p.add_argument("--n_heads", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--l2_reg", type=float, default=0.0)
+    p.add_argument("--d_dim", type=int, default=64)
+    p.add_argument("--g_dim", type=int, default=256)
+    p.add_argument("--residual_sa", type=parse_bool, default=True)
+    p.add_argument("--residual_ca", type=parse_bool, default=True)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--early_stop", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.98)
+    p.add_argument("--gamma", type=float, default=0.9)
+    p.add_argument("--l2_norm", type=parse_bool, default=False)
+    p.add_argument("--device", type=str, default="", help="ignored; JAX picks")
+    p.add_argument("--test", type=parse_bool, default=True)
+    p.add_argument("--n_workers", type=int, default=0, help="ignored; no workers needed")
+    p.add_argument("--target_seq_len", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+
+    p.add_argument("--encoding", type=str, default="identity")
+    p.add_argument("--embedding", type=str, default="all")
+    p.add_argument("--decoder", type=str, default="dot")
+
+    # TPU-native additions
+    p.add_argument("--preset", type=str, default="",
+                   help="named BASELINE config: beauty|games|fashion|men|synthetic10m|smoke")
+    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--use_pallas", type=parse_bool, default=False)
+    p.add_argument("--remat", type=parse_bool, default=False)
+    p.add_argument("--synthetic", type=parse_bool, default=False)
+    p.add_argument("--synthetic_users", type=int, default=2000)
+    p.add_argument("--synthetic_items", type=int, default=1000)
+    p.add_argument("--resume", type=parse_bool, default=True)
+    p.add_argument("--use_native", type=parse_bool, default=True)
+    return p
+
+
+def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
+    if args.preset:
+        return preset(args.preset, n_items, n_attrs, n_ctx)
+    mc = ModelConfig(
+        n_items=n_items, n_attrs=n_attrs, n_ctx=n_ctx,
+        d=args.d_dim, g=args.g_dim, seq_len=args.seq_len,
+        target_len=args.target_seq_len, n_blocks=args.n_blocks,
+        n_heads=args.n_heads, dropout=args.dropout,
+        embedding=args.embedding.lower(), encoding=args.encoding.lower(),
+        decoder=args.decoder.lower(), residual_sa=args.residual_sa,
+        residual_ca=args.residual_ca, gamma=args.gamma, l2_norm=args.l2_norm,
+        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+        remat=args.remat,
+    )
+    dc = DataConfig(
+        data_dir=args.data_dir, profile_file=args.profile_file,
+        attr_file=args.attr_file, ctx_file=args.ctx_file,
+        use_native=args.use_native, synthetic=args.synthetic,
+        synthetic_users=args.synthetic_users,
+        synthetic_items=args.synthetic_items,
+    )
+    tc = TrainConfig(
+        lr=args.lr, beta1=args.beta1, beta2=args.beta2, l2_reg=args.l2_reg,
+        batch_size=args.batch_size, epochs=args.epochs,
+        early_stop=args.early_stop, seed=args.seed, test=args.test,
+        out_dir=args.out_dir, checkpoint_resume=args.resume,
+    )
+    return Config(model=mc, data=dc, train=tc)
+
+
+def load_catalog(args):
+    if args.synthetic or (args.preset and "synthetic" in args.preset) or (
+            args.preset == "smoke") or not args.data_dir:
+        from carca_tpu.data.synthetic import synthetic_catalog
+        return synthetic_catalog(
+            n_users=args.synthetic_users, n_real_items=args.synthetic_items,
+            seed=args.seed)
+    from carca_tpu.data.loaders import load_dataset
+    return load_dataset(args.data_dir, args.profile_file, args.attr_file,
+                        args.ctx_file)
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+    catalog = load_catalog(args)
+    cfg = config_from_args(args, catalog.n_items, catalog.n_attrs, catalog.n_ctx)
+
+    from carca_tpu.train.loop import fit
+
+    _, metrics = fit(cfg, catalog)
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Deterministic synthetic dataset for tests and benchmarks.
+
+Generates a Catalog with a fixed PRNG: zipf-ish item popularity, random
+attribute vectors, and per-event context vectors. Also writes the
+reference's on-disk formats (profiles txt / pickled attrs / pickled ctx
+dict, ``src/data.py:17-50``) for loader round-trip tests.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from carca_tpu.data.loaders import Catalog, build_catalog
+
+
+def synthetic_catalog(
+    n_users: int = 2000,
+    n_real_items: int = 1000,
+    n_attrs: int = 12,
+    n_ctx: int = 4,
+    min_len: int = 4,
+    max_len: int = 30,
+    seed: int = 0,
+) -> Catalog:
+    rng = np.random.default_rng(seed)
+
+    # zipf-ish popularity over real item ids [1, n_real_items]
+    ranks = np.arange(1, n_real_items + 1, dtype=np.float64)
+    popularity = 1.0 / ranks
+    popularity /= popularity.sum()
+
+    lengths = rng.integers(min_len, max_len + 1, size=n_users)
+    offsets = np.zeros(n_users + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    n_events = int(offsets[-1])
+
+    items = rng.choice(
+        np.arange(1, n_real_items + 1, dtype=np.int32), size=n_events, p=popularity
+    )
+    ctx_vals = rng.standard_normal((n_events, n_ctx)).astype(np.float32)
+
+    attrs = rng.standard_normal((n_real_items + 1, n_attrs)).astype(np.float32)
+    attrs[0] = 0.0  # pad row (src/data.py:33-34)
+
+    return Catalog(
+        attrs=attrs,
+        user_ids=np.arange(n_users, dtype=np.int64),
+        items=items.astype(np.int32),
+        offsets=offsets,
+        ctx_vals=ctx_vals,
+    )
+
+
+def write_reference_format(cat: Catalog, out_dir: str, dedup_ctx: bool = True) -> None:
+    """Dump a Catalog in the reference's file formats.
+
+    Note the ctx dict is keyed by (user, item) (``src/data.py:17-25``) — if a
+    user repeats an item, only one context vector survives, exactly as in the
+    reference format.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "profiles.txt"), "w") as fh:
+        for u in range(cat.n_users):
+            uid = int(cat.user_ids[u])
+            for e in range(cat.offsets[u], cat.offsets[u + 1]):
+                fh.write(f"{uid} {int(cat.items[e])}\n")
+
+    # attrs pickle excludes the pad row (loader re-prepends it)
+    with open(os.path.join(out_dir, "attrs.pkl"), "wb") as fh:
+        pickle.dump(cat.attrs[1:], fh)
+
+    ctx = {}
+    for u in range(cat.n_users):
+        uid = int(cat.user_ids[u])
+        for e in range(cat.offsets[u], cat.offsets[u + 1]):
+            ctx[(uid, int(cat.items[e]))] = cat.ctx_vals[e].tolist()
+    with open(os.path.join(out_dir, "ctx.pkl"), "wb") as fh:
+        pickle.dump(ctx, fh)
+
+
+def canonicalize_repeat_ctx(cat: Catalog) -> Catalog:
+    """Apply the reference's (user, item)-keyed context semantics: when a
+    user repeats an item, every occurrence uses the dict's surviving (last)
+    context vector (``src/data.py:17-25`` + dict insertion order)."""
+    ctx_vals = cat.ctx_vals.copy()
+    for u in range(cat.n_users):
+        s, e = int(cat.offsets[u]), int(cat.offsets[u + 1])
+        last = {}
+        for i in range(s, e):
+            last[int(cat.items[i])] = i
+        for i in range(s, e):
+            ctx_vals[i] = cat.ctx_vals[last[int(cat.items[i])]]
+    return Catalog(cat.attrs, cat.user_ids, cat.items, cat.offsets, ctx_vals)

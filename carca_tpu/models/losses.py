@@ -22,4 +22,6 @@ def masked_bce(
     y_pred = y_pred.astype(jnp.float32)
     y_true = y_true.astype(jnp.float32)
     loss = -(y_true * jnp.log(y_pred + eps) + (1.0 - y_true) * jnp.log(1.0 - y_pred + eps))
-    return jnp.sum(loss * mask) / jnp.sum(mask)
+    # guarded denominator: an all-masked batch yields 0, not NaN (the
+    # reference NaNs there; reachable only via batch padding here)
+    return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), eps)

@@ -1,0 +1,283 @@
+"""Training / evaluation loops.
+
+Reproduces the reference protocol (``src/train.py:56-152``):
+
+* per epoch: iterate shuffled train batches; split the target block into
+  positive/negative halves (``src/train.py:86-88``); forward with
+  targets=[pos, neg]; masked BCE over the full [B, 2L] with
+  ``get_mask(o_x)`` (``:92-93``); Adam step;
+* evaluate on val each epoch (1 positive + 100 sampled negatives per user,
+  HR@10/NDCG@10);
+* keep the best-val-NDCG checkpoint only; early-stop after ``early_stop``
+  non-improving epochs (``:117-137``); reload best and run the test split
+  (``:141-149``);
+* stdout prints + CSV logfile rows ``time;epoch;split;loss;HR;NDCG``
+  (``:76-78,104-132``), hyperparameters dumped to args.json.
+
+TPU-native: the step functions are jitted once (fixed shapes from the
+fixed-size batch pipeline), batches arrive as ids+ctx only, attribute
+vectors are gathered on device from the catalog table, and a ``Mesh`` can be
+supplied to shard the batch over the ``data`` axis (pjit handles the
+gradient all-reduce). Structured per-step metrics (examples/sec,
+candidates/sec) land in ``metrics.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from carca_tpu.config import Config
+from carca_tpu.data.dataset import BatchBuilder, epoch_batches
+from carca_tpu.data.loaders import Catalog
+from carca_tpu.models.carca import carca_apply
+from carca_tpu.models.losses import masked_bce
+from carca_tpu.train.metrics import hr_ndcg_sums
+from carca_tpu.train.state import TrainState, create_train_state, make_optimizer
+from carca_tpu.utils.masking import get_mask
+
+
+def _decay_mask(params) -> Any:
+    """L2-decay every trainable leaf except the constant sinusoidal table
+    (a registered *buffer* in the reference, not a parameter)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = []
+    for path, _ in flat:
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        leaves.append("pe" not in keys)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_train_step(mc, tx) -> Callable:
+    """Jitted train step: (state, attrs_table, batch) → (state, loss)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, attrs_table, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        L = mc.seq_len
+
+        def loss_fn(params):
+            o_x, o_c = batch["o_x"], batch["o_c"]
+            # pos/neg halves (src/train.py:86-88)
+            targets = [
+                (o_x[:, :L], None, o_c[:, :L]),
+                (o_x[:, L:], None, o_c[:, L:]),
+            ]
+            y_pred = carca_apply(
+                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
+                train=True, rng=step_rng, attrs_table=attrs_table,
+            )
+            return masked_bce(y_pred, batch["y_true"], get_mask(batch["o_x"]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, rng=rng,
+                          step=state.step + 1), loss
+
+    return train_step
+
+
+def make_eval_step(mc, top_k: int) -> Callable:
+    """Jitted eval step: (params, attrs_table, batch) →
+    (hr_sum, ndcg_sum, loss). Mirrors ``evaluate`` (src/train.py:35-53)."""
+
+    @jax.jit
+    def eval_step(params, attrs_table, batch):
+        y_pred = carca_apply(
+            params, mc, (batch["p_x"], None, batch["p_c"]),
+            [(batch["o_x"], None, batch["o_c"])],
+            train=False, attrs_table=attrs_table,
+        )
+        mask = get_mask(batch["o_x"])
+        loss = masked_bce(y_pred, batch["y_true"], mask)
+        row_mask = get_mask(batch["o_x"][:, 0])  # batch-padding rows
+        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+        return hr, ndcg, loss
+
+    return eval_step
+
+
+def evaluate(
+    eval_step: Callable,
+    params,
+    attrs_table,
+    builder: BatchBuilder,
+    users: np.ndarray,
+    batch_size: int,
+    rng: np.random.Generator,
+    mode: str,
+) -> Tuple[float, float, float]:
+    """(HR/total, NDCG/total, mean batch loss) — src/train.py:35-53."""
+    hr = ndcg = loss_sum = 0.0
+    total = 0
+    n_batches = 0
+    for rows in epoch_batches(users, batch_size, shuffle=False):
+        batch = builder.eval_batch(rows, rng, mode)
+        n_valid = int(batch.pop("n_valid"))
+        h, n, l = eval_step(params, attrs_table, batch)
+        hr += float(h)
+        ndcg += float(n)
+        loss_sum += float(l)
+        total += n_valid
+        n_batches += 1
+    if total == 0:
+        return 0.0, 0.0, 0.0
+    return hr / total, ndcg / total, loss_sum / max(n_batches, 1)
+
+
+def fit(
+    cfg: Config,
+    catalog: Catalog,
+    state: Optional[TrainState] = None,
+    builder: Optional[BatchBuilder] = None,
+    keeper=None,
+    log: bool = True,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """End-to-end training per the reference protocol. Returns the final
+    (best) state and a dict of final metrics."""
+    mc, tc = cfg.model, cfg.train
+
+    os.makedirs(tc.out_dir, exist_ok=True)
+    cfg.dump_args_json(os.path.join(tc.out_dir, "args.json"))
+
+    builder = builder or BatchBuilder(
+        catalog, mc.seq_len, mc.target_len, test=tc.test)
+    train_users = builder.users("train")
+    host_root = np.random.default_rng(tc.seed)
+    # val/test subsample fixed once per run (scripts/training.py:154-157)
+    val_users = builder.users("val")
+    test_users = builder.users("test")
+    if len(val_users) > cfg.data.eval_subsample:
+        val_users = host_root.choice(val_users, cfg.data.eval_subsample, replace=False)
+    if len(test_users) > cfg.data.eval_subsample:
+        test_users = host_root.choice(test_users, cfg.data.eval_subsample, replace=False)
+
+    tx = make_optimizer(tc)
+    if state is None:
+        state = create_train_state(jax.random.PRNGKey(tc.seed), mc, tc, tx)
+
+    if keeper is None and tc.checkpoint_resume:
+        from carca_tpu.train.checkpoint import CheckpointKeeper
+        keeper = CheckpointKeeper(os.path.join(tc.out_dir, "ckpt"))
+        restored = keeper.restore_latest(state)
+        start_epoch = 1
+        if restored is not None:
+            start_epoch = restored[0] + 1
+            state = restored[1]
+    else:
+        start_epoch = 1
+
+    attrs_table = jnp.asarray(catalog.attrs)
+    train_step = make_train_step(mc, tx)
+    eval_step = make_eval_step(mc, tc.top_k)
+
+    start = datetime.now()
+    logpath = os.path.join(
+        tc.out_dir,
+        f"{start.year}-{start.month}-{start.day}T{start.hour}-{start.minute}-{start.second}.csv",
+    )
+    logfile = open(logpath, "a") if log else None
+    metrics_file = open(os.path.join(tc.out_dir, "metrics.jsonl"), "a") if log else None
+
+    def emit(line: str) -> None:
+        if tc.verbose and log:
+            print(line)
+
+    best = keeper.best_metrics()["ndcg"] if (keeper and keeper.best_metrics()) else 0.0
+    no_improve = 0
+    final: Dict[str, float] = {}
+    epoch = start_epoch - 1
+
+    for epoch in range(start_epoch, tc.epochs + 1):
+        ep_rng = np.random.default_rng([tc.seed, epoch])
+        t0 = time.perf_counter()
+        sum_loss, n_batches, n_examples = 0.0, 0, 0
+        for rows in epoch_batches(train_users, tc.batch_size, ep_rng, shuffle=True):
+            batch = builder.train_batch(rows, ep_rng)
+            n_valid = int(batch.pop("n_valid"))
+            state, loss = train_step(state, attrs_table, batch)
+            sum_loss += float(loss)
+            n_batches += 1
+            n_examples += n_valid
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+
+        now = datetime.now().strftime("%H:%M:%S")
+        train_loss = sum_loss / max(n_batches, 1)
+        emit(f"{now} - Epoch {epoch:03d}: Train Loss = {train_loss:.4f} "
+             f"({n_examples / max(dt, 1e-9):.0f} ex/s)")
+        if logfile:
+            logfile.write(f"{now};{epoch};train;{train_loss};;\n")
+
+        t1 = time.perf_counter()
+        hr, ndcg, val_loss = evaluate(
+            eval_step, state.params, attrs_table, builder, val_users,
+            tc.batch_size, ep_rng, "val")
+        dt_eval = time.perf_counter() - t1
+
+        improved = ndcg > best
+        if improved:
+            best, no_improve = ndcg, 0
+            if keeper is not None:
+                keeper.save(epoch, state, {"ndcg": ndcg, "hr": hr, "epoch": epoch})
+        else:
+            no_improve += 1
+            if keeper is not None:
+                keeper.save_latest(epoch, state)  # refresh resume point
+
+        now = datetime.now().strftime("%H:%M:%S")
+        emit(f"{now} - Epoch {epoch:03d}: Val Loss = {val_loss:.4f} "
+             f"HR = {hr:.4f}, NDCG = {ndcg:.4f}")
+        if logfile:
+            logfile.write(f"{now};{epoch};val;{val_loss};{hr};{ndcg}\n")
+            logfile.flush()
+        if metrics_file:
+            metrics_file.write(json.dumps({
+                "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
+                "val_hr": hr, "val_ndcg": ndcg,
+                "examples_per_sec": n_examples / max(dt, 1e-9),
+                "candidates_per_sec": len(val_users) * (mc.target_len + 1) / max(dt_eval, 1e-9),
+                "epoch_seconds": dt,
+            }) + "\n")
+            metrics_file.flush()
+
+        final = {"val_hr": hr, "val_ndcg": ndcg, "val_loss": val_loss,
+                 "epochs_run": epoch}
+        if no_improve >= tc.early_stop:
+            emit(f"No improvement in {no_improve} epochs, early stopping...")
+            break
+
+    # reload best and run the held-out test split (src/train.py:141-149)
+    if keeper is not None:
+        restored = keeper.restore_best(state)
+        if restored is not None:
+            state = restored[1]
+    if len(test_users) and tc.test:
+        hr, ndcg, test_loss = evaluate(
+            eval_step, state.params, attrs_table, builder, test_users,
+            tc.batch_size, np.random.default_rng([tc.seed, 999_983]), "test")
+        now = datetime.now().strftime("%H:%M:%S")
+        emit(f"{now} - Epoch {epoch:03d}: Test Loss = {test_loss:.4f} "
+             f"HR = {hr:.4f}, NDCG = {ndcg:.4f}")
+        if logfile:
+            logfile.write(f"{now};{epoch};test;{test_loss};{hr};{ndcg}\n")
+        final.update({"test_hr": hr, "test_ndcg": ndcg, "test_loss": test_loss})
+
+    if logfile:
+        logfile.close()
+    if metrics_file:
+        metrics_file.close()
+    if keeper is not None:
+        keeper.close()
+    return state, final

@@ -1,0 +1,55 @@
+"""Train state: a single pytree carrying everything needed to resume.
+
+The reference checkpoints only a whole-module pickle of the best model
+(``src/train.py:117-124``) — no optimizer state, no RNG, no resume. Here the
+full state (params + optimizer moments + PRNG key + step) is one pytree,
+checkpointable and restorable mid-run (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.struct import dataclass as pytree_dataclass
+
+from carca_tpu.config import ModelConfig, TrainConfig
+from carca_tpu.models.carca import carca_init
+
+
+@pytree_dataclass
+class TrainState:
+    params: Dict[str, Any]
+    opt_state: Any
+    rng: jax.Array
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    """torch.optim.Adam equivalence (``scripts/training.py:174``):
+    betas=(beta1, beta2), eps=1e-8, and ``weight_decay`` added to the
+    gradient **before** the moment updates (classic L2, not AdamW) — hence
+    ``add_decayed_weights`` ahead of ``scale_by_adam``."""
+    chain = []
+    if tc.l2_reg > 0.0:
+        chain.append(optax.add_decayed_weights(tc.l2_reg))
+    chain.append(optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=1e-8))
+    chain.append(optax.scale(-tc.lr))
+    return optax.chain(*chain)
+
+
+def create_train_state(
+    rng: jax.Array, mc: ModelConfig, tc: TrainConfig,
+    tx: optax.GradientTransformation | None = None,
+) -> TrainState:
+    k_init, k_run = jax.random.split(rng)
+    params = carca_init(k_init, mc)
+    tx = tx or make_optimizer(tc)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        rng=k_run,
+        step=jnp.zeros((), jnp.int32),
+    )

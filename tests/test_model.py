@@ -1,0 +1,201 @@
+"""Model golden tests: carca_tpu's jnp forward vs the independent numpy
+oracle (tests/oracle.py), plus targeted semantics checks (SURVEY.md §2.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from carca_tpu.config import ModelConfig
+from carca_tpu.models.attention import mha_apply, mha_init, pair_mask
+from carca_tpu.models.carca import carca_apply, carca_init
+from carca_tpu.models.embeddings import embedding_apply, embedding_init
+from carca_tpu.models.knn import knn_apply
+from carca_tpu.models.losses import masked_bce
+from carca_tpu.utils.masking import get_mask
+
+B, L, NI, NA, NC, D, G = 3, 6, 40, 5, 3, 16, 24
+
+
+def mk_cfg(**kw):
+    base = dict(n_items=NI, n_attrs=NA, n_ctx=NC, d=D, g=G, seq_len=L,
+                n_blocks=2, n_heads=2, dropout=0.0)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    p_x = rng.integers(0, NI, (B, L)).astype(np.int32)
+    p_x[:, : L // 2] = 0  # left padding
+    o_x = rng.integers(1, NI, (B, L)).astype(np.int32)
+    attrs = rng.standard_normal((NI, NA)).astype(np.float32)
+    attrs[0] = 0
+    p_c = rng.standard_normal((B, L, NC)).astype(np.float32)
+    o_c = rng.standard_normal((B, L, NC)).astype(np.float32)
+    return p_x, o_x, attrs, p_c, o_c
+
+
+def to_np(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+@pytest.mark.parametrize("decoder", ["ca", "dot", "wdot"])
+@pytest.mark.parametrize("train", [False, True])
+def test_forward_matches_oracle(batch, decoder, train):
+    cfg = mk_cfg(decoder=decoder)
+    p_x, o_x, attrs, p_c, o_c = batch
+    params = carca_init(jax.random.PRNGKey(1), cfg)
+    profile = (p_x, attrs[p_x], p_c)
+    targets = [(o_x, attrs[o_x], o_c), (o_x[:, ::-1], attrs[o_x[:, ::-1]], o_c)]
+    # dropout=0 → train only flips decoder causal/dot semantics
+    got = carca_apply(params, cfg, profile, targets, train=train,
+                      rng=jax.random.PRNGKey(2))
+    want = oracle.carca_forward(to_np(params), cfg, profile, targets, train=train)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("encoding", ["learnable", "positional"])
+def test_encodings_match_oracle(batch, encoding):
+    cfg = mk_cfg(encoding=encoding)
+    p_x, o_x, attrs, p_c, o_c = batch
+    params = carca_init(jax.random.PRNGKey(3), cfg)
+    got = carca_apply(params, cfg, (p_x, attrs[p_x], p_c),
+                      [(o_x, attrs[o_x], o_c)], train=False)
+    want = oracle.carca_forward(to_np(params), cfg, (p_x, attrs[p_x], p_c),
+                                [(o_x, attrs[o_x], o_c)])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("l2_norm", [False, True])
+def test_wdot_closed_form(batch, l2_norm):
+    """The closed-form wdot must equal the naive [B,L,L,d] construction."""
+    cfg = mk_cfg(decoder="wdot", l2_norm=l2_norm, n_blocks=1)
+    p_x, o_x, attrs, p_c, o_c = batch
+    params = carca_init(jax.random.PRNGKey(4), cfg)
+    for train in (False, True):
+        got = carca_apply(params, cfg, (p_x, attrs[p_x], p_c),
+                          [(o_x, attrs[o_x], o_c)], train=train)
+        want = oracle.carca_forward(to_np(params), cfg, (p_x, attrs[p_x], p_c),
+                                    [(o_x, attrs[o_x], o_c)], train=train)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_pair_mask_causal_offsets():
+    qm = jnp.ones((1, 4))
+    km = jnp.ones((1, 5))
+    # causal=0: k ≤ q
+    m0 = np.asarray(pair_mask(qm, km, 0))[0]
+    for i in range(4):
+        for j in range(5):
+            assert m0[i, j] == (1.0 if j <= i else 0.0)
+    # causal=−1: k < q (train-time cross-attention, src/carca.py:339)
+    m1 = np.asarray(pair_mask(qm, km, -1))[0]
+    for i in range(4):
+        for j in range(5):
+            assert m1[i, j] == (1.0 if j < i else 0.0)
+    # None: padding-only
+    mn = np.asarray(pair_mask(qm, km, None))[0]
+    assert (mn == 1).all()
+
+
+def test_masked_query_rows_emit_zero():
+    """Post-softmax re-mask: fully-masked queries output exactly 0
+    (src/carca.py:256)."""
+    d, H = 8, 2
+    params = mha_init(jax.random.PRNGKey(0), d)
+    q = jnp.ones((2, 4, d))
+    q_mask = jnp.array([[0, 0, 1, 1], [1, 1, 1, 1]], jnp.float32)
+    k_mask = jnp.ones((2, 4))
+    out = mha_apply(params, q, q, q, q_mask, k_mask, n_heads=H, causal=None,
+                    dropout_rate=0.0, train=False, rng=None)
+    assert np.abs(np.asarray(out)[0, :2]).max() == 0.0
+    assert np.abs(np.asarray(out)[0, 2:]).max() > 0.0
+
+
+def test_first_row_causal_zero():
+    """With causal=−1 the first query row attends nothing → zero output."""
+    d, H = 8, 2
+    params = mha_init(jax.random.PRNGKey(0), d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, d))
+    m = jnp.ones((1, 4))
+    out = mha_apply(params, x, x, x, m, m, n_heads=H, causal=-1,
+                    dropout_rate=0.0, train=False, rng=None)
+    assert np.abs(np.asarray(out)[0, 0]).max() == 0.0
+
+
+def test_embedding_semantics(batch):
+    cfg = mk_cfg(embedding="id")
+    p_x, o_x, attrs, p_c, o_c = batch
+    params = embedding_init(jax.random.PRNGKey(5), cfg)
+    mask = get_mask(jnp.asarray(p_x))
+    e = embedding_apply(params, cfg, p_x, None, None, mask, target=True)
+    # √d scaling of the id table (src/carca.py:88,165)
+    want = np.asarray(params["items"])[p_x] * np.sqrt(D) * np.asarray(mask)[..., None]
+    np.testing.assert_allclose(np.asarray(e), want, rtol=1e-5)
+    # pad row embeds to zero
+    assert np.abs(np.asarray(e)[p_x == 0]).max() == 0.0
+    # positional encoding applied to profile but not targets (src/carca.py:91-92)
+    cfg2 = mk_cfg(embedding="id", encoding="learnable")
+    params2 = embedding_init(jax.random.PRNGKey(6), cfg2)
+    e_prof = embedding_apply(params2, cfg2, p_x, None, None, mask, target=False)
+    e_tgt = embedding_apply(params2, cfg2, p_x, None, None, mask, target=True)
+    table = np.asarray(params2["enc"]["table"])
+    np.testing.assert_allclose(
+        np.asarray(e_prof),
+        (np.asarray(e_tgt) / np.maximum(np.asarray(mask)[..., None], 1e-30)
+         * np.asarray(mask)[..., None]
+         + table[None, :L]) * np.asarray(mask)[..., None],
+        rtol=1e-4, atol=1e-5)
+
+
+def test_device_gather_equals_explicit_attrs(batch):
+    cfg = mk_cfg(embedding="all", decoder="ca")
+    p_x, o_x, attrs, p_c, o_c = batch
+    params = carca_init(jax.random.PRNGKey(7), cfg)
+    y1 = carca_apply(params, cfg, (p_x, attrs[p_x], p_c),
+                     [(o_x, attrs[o_x], o_c)], train=False)
+    y2 = carca_apply(params, cfg, (p_x, None, p_c), [(o_x, None, o_c)],
+                     train=False, attrs_table=jnp.asarray(attrs))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+
+
+def test_bce_matches_oracle():
+    rng = np.random.default_rng(1)
+    y_pred = rng.uniform(0.01, 0.99, (4, 10)).astype(np.float32)
+    y_true = (rng.uniform(size=(4, 10)) > 0.5).astype(np.float32)
+    mask = (rng.uniform(size=(4, 10)) > 0.3).astype(np.float32)
+    got = float(masked_bce(jnp.asarray(y_pred), jnp.asarray(y_true), jnp.asarray(mask)))
+    want = oracle.masked_bce(y_pred, y_true, mask)
+    assert abs(got - want) < 1e-5
+
+
+def test_knn(batch):
+    p_x, o_x, attrs, p_c, o_c = batch
+    y = knn_apply((p_x, attrs[p_x], p_c), [(o_x, attrs[o_x], o_c)])
+    want = (attrs[p_x][:, -1:, :] * attrs[o_x]).sum(-1)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5)
+    # ids-only path
+    y2 = knn_apply((p_x, None, None), [(o_x, None, None)],
+                   attrs_table=jnp.asarray(attrs))
+    np.testing.assert_allclose(np.asarray(y2), want, rtol=1e-5)
+
+
+def test_dropout_changes_train_only():
+    cfg = mk_cfg(dropout=0.5, decoder="ca")
+    rngp = jax.random.PRNGKey(8)
+    params = carca_init(rngp, cfg)
+    rng = np.random.default_rng(2)
+    p_x = rng.integers(1, NI, (B, L)).astype(np.int32)
+    o_x = rng.integers(1, NI, (B, L)).astype(np.int32)
+    attrs = rng.standard_normal((NI, NA)).astype(np.float32)
+    p_c = rng.standard_normal((B, L, NC)).astype(np.float32)
+    prof, tgts = (p_x, attrs[p_x], p_c), [(o_x, attrs[o_x], p_c)]
+    y_a = carca_apply(params, cfg, prof, tgts, train=True, rng=jax.random.PRNGKey(1))
+    y_b = carca_apply(params, cfg, prof, tgts, train=True, rng=jax.random.PRNGKey(2))
+    y_c = carca_apply(params, cfg, prof, tgts, train=False)
+    y_d = carca_apply(params, cfg, prof, tgts, train=False)
+    assert (np.asarray(y_a) != np.asarray(y_b)).any()  # rng-dependent at train
+    np.testing.assert_array_equal(np.asarray(y_c), np.asarray(y_d))  # eval deterministic
