@@ -1,0 +1,350 @@
+"""Fused masked multi-head attention as a Pallas TPU kernel.
+
+Implements the reference's exact (nonstandard) attention semantics
+(``src/carca.py:238-259``) in one VMEM-resident kernel per (batch, head,
+q-block) grid cell — the pairwise mask is built *inside* the kernel from the
+1-D row masks (never materialized in HBM), logits get the additive
+``−(2³²−1)`` mask **before** the ``√(d/H)`` scaling, softmax runs in fp32,
+the post-softmax re-mask zeroes fully-padded query rows, dropout is applied
+**to the attention weights** with the on-core PRNG, and the PV matmul
+accumulates in fp32 on the MXU.
+
+Backward is a second fused kernel (registered via ``jax.custom_vjp``) that
+recomputes the weights block-wise — classic flash-attention rematerialization
+— and regenerates the identical dropout bits from the same per-block seed, so
+no ``[B,H,Lq,Lk]`` tensor ever exists in HBM in either direction.
+
+Why not textbook online-softmax flash? The CARCA regime is Lq ≤ ~512,
+Lk ≤ ~256 (seq_len 50–200, eval candidates 101): a whole ``[block_q, Lk]``
+score tile fits VMEM with room to spare, so a single-pass kernel with the
+full K in VMEM is the speed-of-light shape here; the q-block grid dimension
+keeps it correct for longer sequences.
+
+The pure-jnp path in ``carca_tpu.models.attention.mha_apply`` is the
+correctness oracle; on non-TPU backends this module runs the same kernels in
+interpret mode (and falls back to jnp when weight-dropout is active, since
+the interpreter cannot lower the TPU PRNG primitives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_MASK = -(2.0**32) + 1.0  # src/carca.py:251
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _AttnConfig(NamedTuple):
+    """Static (hashable) kernel configuration for custom_vjp dispatch."""
+
+    causal: Optional[int]  # torch.tril diagonal offset, or None
+    scale: float  # √(d/H); logits = (QKᵀ + add) / scale
+    dropout_rate: float  # on attention weights (src/carca.py:258)
+    block_q: int
+    interpret: bool
+    compute_dtype: str  # matmul input dtype ("float32" | "bfloat16")
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _weights_block(cfg: _AttnConfig, q, k, qm, km, row0: jnp.ndarray):
+    """Shared fwd/bwd math: masked softmax weights for one q block.
+
+    q [BQ, dh], k [Lk, dh], qm [BQ], km [Lk]; ``row0`` = absolute position of
+    the block's first query row. Returns (w_raw, m) — the softmax output
+    *before* the post-softmax re-mask, and the pair mask.
+    """
+    bq, lk = q.shape[0], k.shape[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, Lk]
+    m = qm[:, None] * km[None, :]
+    if cfg.causal is not None:
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, lk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, lk), 1)
+        m = m * (cols <= rows + cfg.causal).astype(m.dtype)
+    add = jnp.where(m > 0, 0.0, NEG_MASK)
+    z = (s + add) * (1.0 / cfg.scale)
+    z = z - jnp.max(z, axis=-1, keepdims=True)
+    p = jnp.exp(z)
+    w_raw = p / jnp.sum(p, axis=-1, keepdims=True)
+    return w_raw, m
+
+
+def _dropout_bits(cfg: _AttnConfig, seed_ref, shape):
+    """Per-(b,h,qblock) deterministic keep mask — identical in fwd and bwd."""
+    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nh, nq = pl.num_programs(1), pl.num_programs(2)
+    pltpu.prng_seed(seed_ref[0] + (b * nh + h) * nq + i)
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    keep = 1.0 - cfg.dropout_rate
+    thresh = jnp.uint32(min(int(keep * (2.0**32)), 2**32 - 1))
+    return pltpu.bitcast(bits, jnp.uint32) < thresh
+
+
+def _fwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
+                km_ref, o_ref):
+    i = pl.program_id(2)
+    cd = jnp.dtype(cfg.compute_dtype)
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    w_raw, m = _weights_block(cfg, q, k, qm_ref[0, 0], km_ref[0, 0],
+                              i * cfg.block_q)
+    w = w_raw * m  # post-softmax re-mask (src/carca.py:256)
+    if cfg.dropout_rate > 0.0:
+        keep_mask = _dropout_bits(cfg, seed_ref, w.shape)
+        w = jnp.where(keep_mask, w * (1.0 / (1.0 - cfg.dropout_rate)), 0.0)
+    o_ref[0, 0] = jnp.dot(w.astype(cd), v.astype(cd),
+                          preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
+                km_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    i = pl.program_id(2)
+    cd = jnp.dtype(cfg.compute_dtype)
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    do = do_ref[0, 0]
+
+    w_raw, m = _weights_block(cfg, q, k, qm_ref[0, 0], km_ref[0, 0],
+                              i * cfg.block_q)
+    wm = w_raw * m
+
+    # dO → through dropout → through re-mask → softmax jacobian → QKᵀ
+    dwd = jax.lax.dot_general(  # dO Vᵀ : [BQ, Lk]
+        do.astype(cd), v.astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.dropout_rate > 0.0:
+        keep_mask = _dropout_bits(cfg, seed_ref, dwd.shape)
+        inv_keep = 1.0 / (1.0 - cfg.dropout_rate)
+        wd = jnp.where(keep_mask, wm * inv_keep, 0.0)
+        dwm = jnp.where(keep_mask, dwd * inv_keep, 0.0)
+    else:
+        wd = wm
+        dwm = dwd
+    dw_raw = dwm * m
+    dz = w_raw * (dw_raw - jnp.sum(dw_raw * w_raw, axis=-1, keepdims=True))
+    ds = dz * (1.0 / cfg.scale)
+
+    dsc = ds.astype(cd)
+    dq_ref[0, 0] = jnp.dot(dsc, k.astype(cd), preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jax.lax.dot_general(  # dSᵀ Q : [Lk, dh]
+        dsc, q.astype(cd), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[0, 0] += jax.lax.dot_general(  # (wd)ᵀ dO : [Lk, dh]
+        wd.astype(cd), do.astype(cd),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+
+def _specs(cfg: _AttnConfig, lqp: int, lkp: int, dh: int):
+    bq = cfg.block_q
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+        pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, 0, i),
+                     memory_space=pltpu.VMEM),  # q_mask [B, 1, Lqp]
+        pl.BlockSpec((1, 1, lkp), lambda b, h, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),  # k_mask [B, 1, Lkp]
+    ]
+    q_like = pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_like = pl.BlockSpec((1, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return in_specs, q_like, kv_like
+
+
+def _cost(b: int, h: int, lq: int, lk: int, dh: int, n_matmuls: int):
+    return pl.CostEstimate(
+        flops=n_matmuls * 2 * b * h * lq * lk * dh,
+        bytes_accessed=4 * b * h * (lq * dh * 2 + lk * dh * 2),
+        transcendentals=b * h * lq * lk,
+    )
+
+
+def _fwd_call(cfg: _AttnConfig, qh, kh, vh, qm, km, seed):
+    b, h, lqp, dh = qh.shape
+    lkp = kh.shape[2]
+    grid = (b, h, lqp // cfg.block_q)
+    in_specs, q_like, _ = _specs(cfg, lqp, lkp, dh)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=q_like,
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dh), jnp.float32),
+        cost_estimate=_cost(b, h, lqp, lkp, dh, 2),
+        interpret=cfg.interpret,
+    )(seed, qh, kh, vh, qm, km)
+
+
+def _bwd_call(cfg: _AttnConfig, qh, kh, vh, qm, km, seed, do):
+    b, h, lqp, dh = qh.shape
+    lkp = kh.shape[2]
+    grid = (b, h, lqp // cfg.block_q)
+    in_specs, q_like, kv_like = _specs(cfg, lqp, lkp, dh)
+    in_specs = in_specs + [q_like]  # do
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(q_like, kv_like, kv_like),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lqp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lkp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lkp, dh), jnp.float32),
+        ),
+        cost_estimate=_cost(b, h, lqp, lkp, dh, 5),
+        interpret=cfg.interpret,
+    )(seed, qh, kh, vh, qm, km, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attention(cfg: _AttnConfig, qh, kh, vh, qm, km, seed):
+    return _fwd_call(cfg, qh, kh, vh, qm, km, seed)
+
+
+def _attention_fwd(cfg, qh, kh, vh, qm, km, seed):
+    out = _fwd_call(cfg, qh, kh, vh, qm, km, seed)
+    return out, (qh, kh, vh, qm, km, seed)
+
+
+def _attention_bwd(cfg, res, g):
+    qh, kh, vh, qm, km, seed = res
+    dq, dk, dv = _bwd_call(cfg, qh, kh, vh, qm, km, seed, g)
+    return (dq.astype(qh.dtype), dk.astype(kh.dtype), dv.astype(vh.dtype),
+            jnp.zeros_like(qm), jnp.zeros_like(km), None)
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    k_mask: jnp.ndarray,
+    *,
+    causal: Optional[int],
+    scale: float,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    n_heads: int = 1,
+    block_q: int = 512,
+) -> jnp.ndarray:
+    """Fused attention on post-projection tensors.
+
+    q [B, Lq, d], k/v [B, Lk, d], masks [B, Lq]/[B, Lk] (float 0/1).
+    Returns the merged-head context [B, Lq, d] in float32. Padding along L is
+    inserted (and stripped) here; padded rows are fully masked, which the
+    post-softmax re-mask turns into exact zeros, so padding never changes
+    results.
+    """
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    dh = d // n_heads
+    dropout_on = dropout_rate > 0.0 and rng is not None
+    interpret = jax.default_backend() != "tpu"
+
+    if interpret and dropout_on:
+        # interpreter can't lower the TPU PRNG — use the jnp oracle math
+        return _jnp_fallback(q, k, v, q_mask, k_mask, causal=causal,
+                             scale=scale, dropout_rate=dropout_rate, rng=rng,
+                             n_heads=n_heads)
+
+    def heads(x, l):
+        return x.reshape(b, l, n_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q, lq), heads(k, lk), heads(v, lk)
+
+    bq = min(block_q, max(8, _round_up(lq, 8)))
+    lqp = _round_up(lq, bq)
+    lkp = _round_up(lk, 128 if not interpret else 8)
+    qh = jnp.pad(qh, ((0, 0), (0, 0), (0, lqp - lq), (0, 0)))
+    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, lkp - lk), (0, 0)))
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, lkp - lk), (0, 0)))
+    qm = jnp.pad(q_mask.astype(jnp.float32), ((0, 0), (0, lqp - lq)))[:, None, :]
+    km = jnp.pad(k_mask.astype(jnp.float32), ((0, 0), (0, lkp - lk)))[:, None, :]
+
+    if dropout_on:
+        seed = jax.random.randint(rng, (1,), 0, 2**30, dtype=jnp.int32)
+        rate = float(dropout_rate)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+        rate = 0.0
+
+    cfg = _AttnConfig(
+        causal=causal, scale=float(scale), dropout_rate=rate, block_q=bq,
+        interpret=interpret, compute_dtype=str(q.dtype),
+    )
+    out = _attention(cfg, qh, kh, vh, qm, km, seed)  # [B, H, Lqp, dh]
+    out = out[:, :, :lq, :].transpose(0, 2, 1, 3).reshape(b, lq, d)
+    return out
+
+
+def _jnp_fallback(q, k, v, q_mask, k_mask, *, causal, scale, dropout_rate,
+                  rng, n_heads):
+    """jnp math identical to the oracle (used when the kernel PRNG is
+    unavailable); see ``carca_tpu.models.attention.mha_apply``."""
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    dh = d // n_heads
+
+    def heads(x, l):
+        return x.reshape(b, l, n_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q, lq), heads(k, lk), heads(v, lk)
+    m = q_mask[:, :, None] * k_mask[:, None, :]
+    if causal is not None:
+        rows = jnp.arange(lq)[:, None]
+        cols = jnp.arange(lk)[None, :]
+        m = m * (cols <= rows + causal).astype(m.dtype)
+    add = jnp.where(m > 0, 0.0, NEG_MASK)
+    logits = jnp.einsum("bhqe,bhke->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    logits = (logits + add[:, None]) / scale
+    w = jax.nn.softmax(logits, axis=-1) * m[:, None]
+    if dropout_rate > 0.0 and rng is not None:
+        keep = 1.0 - dropout_rate
+        keep_mask = jax.random.bernoulli(rng, keep, w.shape)
+        w = jnp.where(keep_mask, w / keep, 0.0)
+    out = jnp.einsum("bhqk,bhke->bhqe", w.astype(qh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, d).astype(jnp.float32)

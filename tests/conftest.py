@@ -4,7 +4,11 @@ TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient platform (the dev box exposes a real
+# TPU via JAX_PLATFORMS=axon; tests must be deterministic and exercise the
+# 8-virtual-device mesh). Set CARCA_TEST_PLATFORM=tpu to run the kernel
+# parity tests on real hardware instead.
+os.environ["JAX_PLATFORMS"] = os.environ.get("CARCA_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,119 @@
+"""Pallas kernel vs jnp-oracle parity (interpret mode on CPU).
+
+The fused attention kernel must reproduce the reference MHA semantics
+(SURVEY.md §2.1 #4): pre-scale additive mask, post-softmax re-mask, causal
+offsets 0/−1/None, no W_O — both forward values and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carca_tpu.models import attention
+from carca_tpu.ops.flash_attention import fused_attention
+
+
+def _rand_inputs(key, b, lq, lk, d, frac_pad=0.3):
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, lq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, d), jnp.float32)
+    # right-aligned masks like real profiles; one row fully padded
+    qm = (jax.random.uniform(ks[3], (b, lq)) > frac_pad).astype(jnp.float32)
+    km = (jax.random.uniform(ks[4], (b, lk)) > frac_pad).astype(jnp.float32)
+    qm = qm.at[0].set(0.0)
+    km = km.at[0].set(0.0)
+    return q, k, v, qm, km
+
+
+def _oracle(q, k, v, qm, km, causal, scale, n_heads):
+    b, lq, d = q.shape
+    dh = d // n_heads
+
+    def heads(x):
+        return x.reshape(b, x.shape[1], n_heads, dh).transpose(0, 2, 1, 3)
+
+    m = attention.pair_mask(qm, km, causal)
+    add = jnp.where(m > 0, 0.0, attention.NEG_MASK)
+    logits = jnp.einsum("bhqe,bhke->bhqk", heads(q), heads(k),
+                        preferred_element_type=jnp.float32)
+    logits = (logits + add[:, None]) / scale
+    w = jax.nn.softmax(logits, axis=-1) * m[:, None]
+    out = jnp.einsum("bhqk,bhke->bhqe", w, heads(v),
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
+
+
+CASES = [
+    # (b, lq, lk, d, n_heads, causal)
+    (3, 10, 10, 16, 2, 0),       # encoder self-attention
+    (3, 20, 10, 16, 2, -1),      # train-time cross-attention
+    (3, 21, 10, 16, 4, None),    # eval cross-attention, odd Lq
+    (2, 7, 13, 32, 1, None),     # single head, ragged sizes
+]
+
+
+@pytest.mark.parametrize("b,lq,lk,d,n_heads,causal", CASES)
+def test_fused_attention_forward_matches_oracle(b, lq, lk, d, n_heads, causal):
+    q, k, v, qm, km = _rand_inputs(jax.random.PRNGKey(0), b, lq, lk, d)
+    scale = (d / n_heads) ** 0.5
+    got = fused_attention(q, k, v, qm, km, causal=causal, scale=scale,
+                          n_heads=n_heads)
+    want = _oracle(q, k, v, qm, km, causal, scale, n_heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("b,lq,lk,d,n_heads,causal", CASES[:3])
+def test_fused_attention_grads_match_oracle(b, lq, lk, d, n_heads, causal):
+    q, k, v, qm, km = _rand_inputs(jax.random.PRNGKey(1), b, lq, lk, d)
+    scale = (d / n_heads) ** 0.5
+    co = jax.random.normal(jax.random.PRNGKey(2), (b, lq, d), jnp.float32)
+
+    def loss_fused(q, k, v):
+        out = fused_attention(q, k, v, qm, km, causal=causal, scale=scale,
+                              n_heads=n_heads)
+        return jnp.sum(out * co)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(_oracle(q, k, v, qm, km, causal, scale, n_heads) * co)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"d{name}")
+
+
+def test_fused_attention_padded_rows_emit_zero():
+    q, k, v, qm, km = _rand_inputs(jax.random.PRNGKey(3), 2, 8, 8, 16)
+    out = fused_attention(q, k, v, qm, km, causal=0, scale=2.0, n_heads=2)
+    # fully-masked batch row 0 → exact zeros (post-softmax re-mask)
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    # padded query rows → zeros
+    np.testing.assert_array_equal(np.asarray(out[1] * (1 - qm[1][:, None])), 0.0)
+
+
+def test_mha_apply_pallas_path_matches_jnp_path():
+    """End-to-end through mha_apply (projections included)."""
+    d, h = 16, 2
+    key = jax.random.PRNGKey(4)
+    params = attention.mha_init(key, d)
+    q, k, v, qm, km = _rand_inputs(jax.random.PRNGKey(5), 3, 12, 9, d)
+    kw = dict(n_heads=h, causal=None, dropout_rate=0.0, train=False, rng=None)
+    ref = attention.mha_apply(params, q, k, v, qm, km, use_pallas=False, **kw)
+    fused = attention.mha_apply(params, q, k, v, qm, km, use_pallas=True, **kw)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_dropout_fallback_shape_and_scale():
+    """CPU fallback path with dropout: masked-out rows stay zero, mean is
+    preserved in expectation (loose statistical check)."""
+    q, k, v, qm, km = _rand_inputs(jax.random.PRNGKey(6), 4, 10, 10, 16,
+                                   frac_pad=0.0)
+    out = fused_attention(q, k, v, qm, km, causal=0, scale=2.0, n_heads=2,
+                          dropout_rate=0.5, rng=jax.random.PRNGKey(7))
+    assert out.shape == (4, 10, 16)
+    assert np.isfinite(np.asarray(out)).all()
