@@ -1,0 +1,88 @@
+"""Headline benchmark: train throughput (examples/sec/chip) on the flagship
+config — 2-block CARCA d=64, seq 50, cross-attention decoder, batch 256,
+fused Pallas attention — on whatever accelerator JAX exposes.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` compares against the measured reference implementation
+throughput recorded in BASELINE_MEASURED.json (the reference repo publishes
+no numbers — SURVEY.md §6; we measure its PyTorch training loop on the same
+host CPU and record it there). Falls back to 1.0 when absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from carca_tpu.config import ModelConfig, TrainConfig
+    from carca_tpu.data.dataset import BatchBuilder, epoch_batches
+    from carca_tpu.data.synthetic import synthetic_catalog
+    from carca_tpu.train.loop import make_train_step
+    from carca_tpu.train.state import create_train_state, make_optimizer
+
+    cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
+    mc = ModelConfig(
+        n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+        d=64, g=256, seq_len=50, target_len=100, n_blocks=2, n_heads=2,
+        dropout=0.5, embedding="all", encoding="identity", decoder="ca",
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    tc = TrainConfig(batch_size=256, seed=0)
+    tx = make_optimizer(tc)
+    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx)
+    attrs = jnp.asarray(cat.attrs)
+    builder = BatchBuilder(cat, mc.seq_len, mc.target_len, test=True)
+    users = builder.users("train")
+    rng = np.random.default_rng(0)
+
+    # pre-build a rotation of host batches so host assembly overlaps are
+    # realistic but not the bottleneck being measured
+    batches = []
+    for rows in epoch_batches(users, tc.batch_size, rng, shuffle=True):
+        b = builder.train_batch(rows, rng)
+        b.pop("n_valid")
+        batches.append(b)
+        if len(batches) >= 8:
+            break
+
+    step = make_train_step(mc, tx)
+
+    for i in range(3):  # warmup + compile
+        state, loss = step(state, attrs, batches[i % len(batches)])
+    jax.block_until_ready(state.params)
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss = step(state, attrs, batches[i % len(batches)])
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = n_steps * tc.batch_size / dt
+
+    baseline = None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            baseline = json.load(fh).get("train_examples_per_sec")
+
+    print(json.dumps({
+        "metric": "train_examples_per_sec_flagship",
+        "value": round(examples_per_sec, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(examples_per_sec / baseline, 3) if baseline else 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Device mesh construction and sharding rules.
+
+The framework uses one global mesh with a ``data`` axis (batch / DP) and an
+optional ``model`` axis (row-sharded embedding tables). All sharding is
+expressed as ``NamedSharding`` over this mesh; XLA SPMD inserts the
+collectives (gradient ``psum`` over ``data``, lookup ``psum`` over
+``model``) on ICI. There is no hand-written transport layer — that is the
+TPU-native replacement for the NCCL/MPI stacks the reference lacks
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kw) -> None:
+    """Multi-host init (no-op when single-process). Call once before any
+    JAX computation on a pod slice; coordinator/process env comes from the
+    TPU runtime."""
+    try:
+        jax.distributed.initialize(**kw)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(
+    shape: Tuple[int, ...] = (),
+    axes: Tuple[str, ...] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the global mesh. ``shape=()`` → all devices on the first axis.
+
+    ``mesh_utils.create_device_mesh`` lays logical axes onto the physical
+    ICI topology so the innermost axis gets the fastest links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if not shape:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    try:
+        dmesh = mesh_utils.create_device_mesh(shape, devices=devices)
+    except (ValueError, AssertionError):  # virtual/CPU devices: plain reshape
+        dmesh = np.asarray(devices).reshape(shape)
+    return Mesh(dmesh, axes)
+
+
+def _is_table_path(path) -> bool:
+    """A leaf is a shardable table iff its pytree path goes through the
+    embedding's ``items`` table (mirrored inside optimizer state by optax)."""
+    for p in path:
+        if getattr(p, "key", None) == "items":
+            return True
+    return False
+
+
+def param_shardings(tree, mesh: Mesh, shard_embeddings: bool = False):
+    """Sharding pytree for params / TrainState / optimizer state.
+
+    Embedding tables (and their Adam moments, which share the tree path) are
+    row-sharded ``P('model', None)`` when requested; everything else is
+    replicated. Works on concrete pytrees and on ``jax.eval_shape`` output.
+    """
+    has_model = shard_embeddings and "model" in mesh.axis_names
+
+    def rule(path, leaf):
+        if has_model and _is_table_path(path) and getattr(leaf, "ndim", 0) == 2:
+            return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def batch_shardings(batch, mesh: Mesh):
+    """Shard every batch array over ``data`` on its leading dim."""
+    def rule(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+    return jax.tree_util.tree_map(rule, batch)
+
+
+def table_sharding(mesh: Mesh, shard_embeddings: bool = False) -> NamedSharding:
+    if shard_embeddings and "model" in mesh.axis_names:
+        return NamedSharding(mesh, P("model", None))
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a host batch with data-parallel shardings (fixed shapes →
+    one transfer per array, no per-device slicing on the host)."""
+    return jax.device_put(batch, batch_shardings(batch, mesh))
+
+
+def prepare_state_for_mesh(state, mesh: Mesh, tx):
+    """Pad embedding tables to row-shard evenly over ``model`` and rebuild
+    the optimizer state to match. Call once before training starts (resume
+    checkpoints then carry padded shapes already)."""
+    if mesh.shape.get("model", 1) == 1:
+        return state
+
+    def pad(path, leaf):
+        if _is_table_path(path) and getattr(leaf, "ndim", 0) == 2:
+            return jax.numpy.asarray(pad_table_rows(np.asarray(leaf), mesh))
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(pad, state.params)
+    return state.replace(params=params, opt_state=tx.init(params))
+
+
+def pad_table_rows(table: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Pad a table's row count to a multiple of the ``model`` axis size so it
+    row-shards evenly; pad rows are never indexed (ids < n_items)."""
+    n = mesh.shape.get("model", 1)
+    rows = table.shape[0]
+    pad = (-rows) % n
+    if pad:
+        table = np.concatenate(
+            [table, np.zeros((pad,) + table.shape[1:], table.dtype)], axis=0)
+    return table

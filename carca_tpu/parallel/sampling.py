@@ -1,0 +1,48 @@
+"""On-device negative sampling.
+
+The reference draws fresh negatives per example per epoch with a Python
+rejection loop (``src/data.py:77-87``) — the CPU bottleneck flagged in
+SURVEY.md §3.1. At scale the framework samples on device instead: uniform
+ids in ``[1, n_items-1]`` with a fixed number of retry draws, rejecting
+collisions against the *visible profile window*.
+
+Approximation note (documented at ``DataConfig.device_sampling``): the
+reference rejects against the user's full history; on device only the
+length-L window is resident. For the catalogs this targets (≥100k items)
+the acceptance probability per draw is ≥ 1 − L/n_items ≈ 0.999, and the
+chance any of the ``retries`` draws all collide is negligible; the final
+draw is used unconditionally in that case (keeps shapes static).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def device_sample_negatives(
+    rng: jax.Array,
+    profile: jnp.ndarray,
+    n_items: int,
+    n_slots: int,
+    retries: int = 8,
+) -> jnp.ndarray:
+    """Sample ``[B, n_slots]`` negative ids avoiding ``profile`` [B, L].
+
+    Matches the reference's sampler domain: ``random.randint(1, n_items-1)``
+    is inclusive on both ends (``src/data.py:82``), i.e. uniform over
+    ``{1, …, n_items-1}`` — exactly ``jax.random.randint(…, 1, n_items)``.
+    """
+    b = profile.shape[0]
+    draws = jax.random.randint(
+        rng, (b, n_slots, retries), 1, n_items, dtype=profile.dtype)
+    # collision of each draw against the window: [B, S, R]
+    hit = jnp.any(draws[:, :, :, None] == profile[:, None, None, :], axis=-1)
+    # first non-colliding draw; fall back to the last draw if all collide
+    first_ok = jnp.argmax(~hit, axis=-1)  # 0 if none ok → but then use last
+    any_ok = jnp.any(~hit, axis=-1)
+    idx = jnp.where(any_ok, first_ok, retries - 1)
+    return jnp.take_along_axis(draws, idx[..., None], axis=-1)[..., 0]

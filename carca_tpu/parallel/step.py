@@ -1,0 +1,155 @@
+"""Sharded (pjit) train / eval steps over the global mesh.
+
+Same math as the single-device steps in ``carca_tpu.train.loop`` — one
+function, compiled once, sharded by annotation:
+
+* batch arrays ``P('data', …)`` — DP; XLA all-reduces gradients over ICI;
+* params/opt-state replicated, except embedding tables (and their Adam
+  moments) ``P('model', None)`` when ``shard_embeddings`` — lookups then go
+  through the ``shard_map`` local-gather+psum path;
+* optional on-device negative sampling folded into the step so the host
+  ships profile windows only.
+
+This module is the "distributed training loop" component the reference
+lacks entirely (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from carca_tpu.models.carca import carca_apply
+from carca_tpu.models.embeddings import _default_lookup
+from carca_tpu.models.losses import masked_bce
+from carca_tpu.parallel.embedding import make_sharded_lookup
+from carca_tpu.parallel.mesh import batch_shardings, param_shardings, table_sharding
+from carca_tpu.parallel.sampling import device_sample_negatives
+from carca_tpu.train.metrics import hr_ndcg_sums
+from carca_tpu.train.state import TrainState
+from carca_tpu.utils.masking import get_mask
+
+
+def _lookup_for(mesh: Mesh, shard_embeddings: bool):
+    if shard_embeddings and "model" in mesh.axis_names:
+        return make_sharded_lookup(mesh)
+    return _default_lookup
+
+
+def make_sharded_train_step(
+    mc,
+    tx,
+    mesh: Mesh,
+    *,
+    shard_embeddings: bool = False,
+    device_negatives: bool = False,
+) -> Callable:
+    """(state, attrs_table, batch) → (state, loss), sharded over ``mesh``.
+
+    With ``device_negatives`` the batch needs no ``o_x`` negative half: the
+    step samples ``[B, L]`` negatives on device each call (fresh per step,
+    like the reference's fresh-per-epoch draws, src/data.py:239-245).
+    """
+    lookup = _lookup_for(mesh, shard_embeddings)
+    L = mc.seq_len
+
+    def train_step(state: TrainState, attrs_table, batch):
+        rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            o_x, o_c = batch["o_x"], batch["o_c"]
+            if device_negatives:
+                o_neg = device_sample_negatives(
+                    neg_rng, batch["p_x"], mc.n_items, L)
+                o_neg = jnp.where(batch["p_x"] > 0, o_neg, 0)
+                targets = [
+                    (o_x[:, :L], None, o_c[:, :L]),
+                    (o_neg, None, o_c[:, :L]),  # negatives inherit pos ctx
+                ]
+                o_all = jnp.concatenate([o_x[:, :L], o_neg], axis=1)
+            else:
+                targets = [
+                    (o_x[:, :L], None, o_c[:, :L]),
+                    (o_x[:, L:], None, o_c[:, L:]),
+                ]
+                o_all = o_x
+            y_pred = carca_apply(
+                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
+                train=True, rng=step_rng, attrs_table=attrs_table,
+                lookup=lookup,
+            )
+            return masked_bce(y_pred, batch["y_true"], get_mask(o_all))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, rng=rng,
+                          step=state.step + 1), loss
+
+    return _jit_sharded(train_step, mc, mesh, shard_embeddings, donate=True)
+
+
+def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
+                           shard_embeddings: bool = False) -> Callable:
+    """(params, attrs_table, batch) → (hr_sum, ndcg_sum, loss)."""
+    lookup = _lookup_for(mesh, shard_embeddings)
+
+    def eval_step(params, attrs_table, batch):
+        y_pred = carca_apply(
+            params, mc, (batch["p_x"], None, batch["p_c"]),
+            [(batch["o_x"], None, batch["o_c"])],
+            train=False, attrs_table=attrs_table, lookup=lookup,
+        )
+        mask = get_mask(batch["o_x"])
+        loss = masked_bce(y_pred, batch["y_true"], mask)
+        row_mask = get_mask(batch["o_x"][:, 0])
+        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+        return hr, ndcg, loss
+
+    repl = NamedSharding(mesh, P())
+
+    def wrapped(params, attrs_table, batch):
+        return jax.jit(
+            eval_step,
+            in_shardings=(
+                param_shardings(params, mesh, shard_embeddings),
+                table_sharding(mesh, shard_embeddings),
+                batch_shardings(batch, mesh),
+            ),
+            out_shardings=(repl, repl, repl),
+        )(params, attrs_table, batch)
+
+    return wrapped
+
+
+def _jit_sharded(step, mc, mesh: Mesh, shard_embeddings: bool, donate: bool):
+    """jit with explicit shardings derived from the first call's args.
+
+    ``jax.jit`` caches per input-shape/sharding signature; deriving the
+    sharding pytrees from the concrete args keeps this robust to any state
+    layout (optax wraps differ between configs) at zero recompile cost.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def wrapped(state, attrs_table, batch):
+        fn = jax.jit(
+            step,
+            in_shardings=(
+                param_shardings(state, mesh, shard_embeddings),
+                table_sharding(mesh, shard_embeddings),
+                batch_shardings(batch, mesh),
+            ),
+            out_shardings=(
+                param_shardings(state, mesh, shard_embeddings),
+                repl,
+            ),
+            donate_argnums=(0,) if donate else (),
+        )
+        return fn(state, attrs_table, batch)
+
+    return wrapped

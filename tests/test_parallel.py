@@ -1,0 +1,160 @@
+"""Parallelism layer tests on the 8-virtual-device CPU mesh (SURVEY.md §4):
+sharded steps must match single-device math exactly; the row-sharded lookup
+must match a plain gather, values and grads.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carca_tpu.config import ModelConfig, TrainConfig
+from carca_tpu.data.dataset import BatchBuilder
+from carca_tpu.data.synthetic import synthetic_catalog
+from carca_tpu.parallel import (
+    device_sample_negatives,
+    make_mesh,
+    make_sharded_eval_step,
+    make_sharded_lookup,
+    make_sharded_train_step,
+    shard_batch,
+)
+from carca_tpu.parallel.mesh import pad_table_rows, prepare_state_for_mesh
+from carca_tpu.train.loop import make_eval_step, make_train_step
+from carca_tpu.train.state import create_train_state, make_optimizer
+
+
+def _setup(batch=16, seq=8, users=64, items=50):
+    cat = synthetic_catalog(n_users=users, n_real_items=items, seed=3)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=seq, target_len=12, n_blocks=2,
+                     n_heads=2, dropout=0.0, decoder="ca")
+    tc = TrainConfig(batch_size=batch, seed=0)
+    builder = BatchBuilder(cat, mc.seq_len, mc.target_len, test=True)
+    rng = np.random.default_rng(0)
+    users_arr = builder.users("train")[:batch]
+    tbatch = builder.train_batch(users_arr, rng)
+    tbatch.pop("n_valid")
+    ebatch = builder.eval_batch(builder.users("val")[:batch], rng, "val")
+    ebatch.pop("n_valid")
+    return cat, mc, tc, tbatch, ebatch
+
+
+def test_sharded_train_step_matches_single_device():
+    """Same batch, same params: the 8-way DP step must produce the same loss
+    and the same *gradients* as single-device (psum only reorders the batch
+    reduction → 1e-6-level FP noise). Params-after-Adam are not compared:
+    Adam's g/(√g²+ε) normalization amplifies that noise unboundedly for
+    near-zero-gradient leaves."""
+    from carca_tpu.models.carca import carca_apply
+    from carca_tpu.models.losses import masked_bce
+    from carca_tpu.utils.masking import get_mask
+    from carca_tpu.parallel.mesh import batch_shardings
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cat, mc, tc, batch, _ = _setup()
+    tx = make_optimizer(tc)
+    attrs = jnp.asarray(cat.attrs)
+    state = create_train_state(jax.random.PRNGKey(1), mc, tc, tx)
+    L = mc.seq_len
+
+    def loss_fn(params, batch):
+        o_x, o_c = batch["o_x"], batch["o_c"]
+        targets = [(o_x[:, :L], None, o_c[:, :L]),
+                   (o_x[:, L:], None, o_c[:, L:])]
+        y = carca_apply(params, mc, (batch["p_x"], None, batch["p_c"]),
+                        targets, train=True, rng=jax.random.PRNGKey(7),
+                        attrs_table=attrs)
+        return masked_bce(y, batch["y_true"], get_mask(batch["o_x"]))
+
+    loss1, g1 = jax.jit(jax.value_and_grad(loss_fn))(state.params, dict(batch))
+
+    mesh = make_mesh((8,), ("data",))
+    repl = NamedSharding(mesh, P())
+    sharded = jax.jit(
+        jax.value_and_grad(loss_fn),
+        in_shardings=(jax.tree_util.tree_map(lambda _: repl, state.params),
+                      batch_shardings(dict(batch), mesh)),
+        out_shardings=(repl, jax.tree_util.tree_map(lambda _: repl, state.params)),
+    )
+    loss2, g2 = sharded(state.params, shard_batch(dict(batch), mesh))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for (p1, l1), (_, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(p1))
+
+    # and the packaged sharded step must run one full Adam step with the
+    # same loss value
+    step = make_sharded_train_step(mc, tx, mesh)
+    # rng differs from the jit above, so only the loss scale is comparable
+    s2, loss3 = step(state, attrs, shard_batch(dict(batch), mesh))
+    assert np.isfinite(float(loss3)) and int(s2.step) == 1
+
+
+def test_sharded_eval_step_matches_single_device():
+    cat, mc, tc, _, ebatch = _setup()
+    tx = make_optimizer(tc)
+    attrs = jnp.asarray(cat.attrs)
+    state = create_train_state(jax.random.PRNGKey(2), mc, tc, tx)
+
+    h1, n1, l1 = make_eval_step(mc, tc.top_k)(state.params, attrs, dict(ebatch))
+    mesh = make_mesh((8,), ("data",))
+    h2, n2, l2 = make_sharded_eval_step(mc, tc.top_k, mesh)(
+        state.params, attrs, shard_batch(dict(ebatch), mesh))
+    np.testing.assert_allclose(float(h1), float(h2), rtol=1e-6)
+    np.testing.assert_allclose(float(n1), float(n2), rtol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_sharded_lookup_matches_gather_and_grads():
+    mesh = make_mesh((2, 4), ("data", "model"))
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (37, 12))  # ragged rows → padding path
+    table = jnp.asarray(pad_table_rows(np.asarray(table), mesh))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 5), 0, 37)
+    lookup = make_sharded_lookup(mesh)
+
+    got = lookup(table, ids)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    co = jax.random.normal(jax.random.PRNGKey(2), got.shape)
+    g1 = jax.grad(lambda t: jnp.sum(lookup(t, ids) * co))(table)
+    g2 = jax.grad(lambda t: jnp.sum(jnp.take(t, ids, axis=0) * co))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_full_sharded_step_with_sharded_tables_and_device_negatives():
+    """The at-scale path: (data, model) mesh, row-sharded tables, on-device
+    negative sampling — one step must run and stay finite."""
+    cat, mc, tc, batch, _ = _setup()
+    mesh = make_mesh((4, 2), ("data", "model"))
+    tx = make_optimizer(tc)
+    # pad tables so they row-shard over model=2
+    attrs = jnp.asarray(pad_table_rows(cat.attrs, mesh))
+    state = create_train_state(jax.random.PRNGKey(3), mc, tc, tx)
+    state = prepare_state_for_mesh(state, mesh, tx)
+    step = make_sharded_train_step(mc, tx, mesh, shard_embeddings=True,
+                                   device_negatives=True)
+    state2, loss = step(state, attrs, shard_batch(dict(batch), mesh))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    leaves = jax.tree_util.tree_leaves(state2.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_device_sample_negatives_domain_and_rejection():
+    rng = jax.random.PRNGKey(0)
+    profile = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], dtype=jnp.int32)
+    n_items = 12
+    negs = device_sample_negatives(rng, profile, n_items, 64, retries=16)
+    arr = np.asarray(negs)
+    assert arr.min() >= 1 and arr.max() <= n_items - 1
+    # with 16 retries and only 8 forbidden of 11, collisions are ~impossible
+    assert not np.isin(arr, np.asarray(profile[0])).any()
+    # deterministic under the same key
+    negs2 = device_sample_negatives(rng, profile, n_items, 64, retries=16)
+    np.testing.assert_array_equal(arr, np.asarray(negs2))
