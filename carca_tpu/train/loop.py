@@ -151,8 +151,13 @@ def fit(
     os.makedirs(tc.out_dir, exist_ok=True)
     cfg.dump_args_json(os.path.join(tc.out_dir, "args.json"))
 
-    builder = builder or BatchBuilder(
-        catalog, mc.seq_len, mc.target_len, test=tc.test)
+    if builder is None:
+        native = None
+        if cfg.data.use_native:
+            from carca_tpu.native import get_assembler
+            native = get_assembler()  # None → numpy fallback
+        builder = BatchBuilder(
+            catalog, mc.seq_len, mc.target_len, test=tc.test, native=native)
     train_users = builder.users("train")
     host_root = np.random.default_rng(tc.seed)
     # val/test subsample fixed once per run (scripts/training.py:154-157)
