@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoding", type=str, default="identity")
     p.add_argument("--embedding", type=str, default="all")
     p.add_argument("--decoder", type=str, default="dot")
+    p.add_argument("--model", type=str, default="carca",
+                   help="carca (train) | knn (eval-only content baseline)")
 
     # TPU-native additions
     p.add_argument("--preset", type=str, default="",
@@ -121,9 +123,14 @@ def main(argv: Optional[list] = None) -> None:
     catalog = load_catalog(args)
     cfg = config_from_args(args, catalog.n_items, catalog.n_attrs, catalog.n_ctx)
 
-    from carca_tpu.train.loop import fit
+    if args.model.lower() == "knn":
+        from carca_tpu.train.loop import evaluate_knn
 
-    _, metrics = fit(cfg, catalog)
+        metrics = evaluate_knn(cfg, catalog)
+    else:
+        from carca_tpu.train.loop import fit
+
+        _, metrics = fit(cfg, catalog)
     print("final:", metrics)
 
 

@@ -1,0 +1,174 @@
+"""Full-catalog retrieval scoring with a sharded top-k.
+
+BASELINE.json configs[4]: rank the **entire catalog** (10M items) per query
+instead of 1+100 sampled candidates. The reference has no such path (its
+eval is sampled-negatives only, ``src/data.py:140-192``); this is the
+TPU-native retrieval design:
+
+* the catalog is embedded **once per evaluation** (not per user) with the
+  item tower — exact for attr/id/mlpid embeddings; for ctx-fusing
+  embeddings (all/attrctx) a query-independent context (zeros by default)
+  is used, the standard two-tower retrieval approximation;
+* item/attr tables stay row-sharded over the ``model`` axis: each chip
+  embeds its rows, scores them against its data-shard of query states with
+  one MXU matmul, takes a **local** top-k, and only the ``[shards, k]``
+  candidates are all-gathered and re-reduced — the ``[B, n_items]`` score
+  matrix never exists in HBM and never crosses ICI;
+* retrieval applies to the dot-family decoders (two-tower geometry: score =
+  last profile state · item embedding, ``src/carca.py:362``); the
+  cross-attention decoder is a *ranking* model — O(L) attention per
+  candidate — and is evaluated on shortlists, not the full catalog.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from carca_tpu.config import ModelConfig
+from carca_tpu.models import embeddings
+from carca_tpu.models.carca import encode_profile
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def embed_catalog(
+    params,
+    cfg: ModelConfig,
+    attrs_rows: jnp.ndarray,
+    ctx: Optional[jnp.ndarray] = None,
+    *,
+    table_rows: Optional[jnp.ndarray] = None,
+    global_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Item-tower embeddings for catalog rows → [R, d].
+
+    ``attrs_rows`` [R, n_attrs] are the rows to embed. ``global_ids`` [R]
+    are their true item ids (default ``arange(R)``) — used for pad masking
+    (id 0 and padded table rows embed to zero). ``table_rows`` overrides the
+    id-embedding table with a row-aligned local shard (then lookups use
+    local row numbers). Target semantics: no positional encoding
+    (``src/carca.py:91-92``).
+    """
+    r = attrs_rows.shape[0]
+    if global_ids is None:
+        global_ids = jnp.arange(r, dtype=jnp.int32)
+    if ctx is None:
+        ctx = jnp.zeros((cfg.n_ctx,), jnp.float32)
+    c = jnp.broadcast_to(ctx[None, :], (r, cfg.n_ctx))
+    mask = ((global_ids != 0) & (global_ids < cfg.n_items)).astype(jnp.float32)
+
+    p_embed = params["embed"]
+    x = jnp.arange(r, dtype=jnp.int32) if table_rows is not None else global_ids
+    if table_rows is not None and "items" in p_embed:
+        p_embed = dict(p_embed, items=table_rows)
+    e = embeddings.embedding_apply(
+        p_embed, cfg, x[None], attrs_rows[None], c[None], mask[None],
+        target=True)
+    return e[0]  # [R, d]
+
+
+def queries(params, cfg: ModelConfig, profile, attrs_table) -> jnp.ndarray:
+    """Encoded last profile state per user — the dot decoder's eval query
+    (``p[:, -1:, :]``, src/carca.py:362) with the wdot γ-scale folded in."""
+    p_e, _ = encode_profile(params, cfg, profile, train=False,
+                            attrs_table=attrs_table)
+    q = p_e[:, -1, :]
+    if cfg.decoder == "wdot":
+        L = p_e.shape[1]
+        scale = jnp.cumsum(cfg.gamma ** jnp.arange(L, dtype=jnp.float32))[-1]
+        q = q * scale
+        if cfg.l2_norm:
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return q
+
+
+def _masked_scores(q, e, ids, exclude):
+    """[B, R] dot scores; pad id 0 and per-user exclusions at −inf."""
+    s = jnp.einsum("bd,rd->br", q, e, preferred_element_type=jnp.float32)
+    s = jnp.where((ids == 0)[None, :], NEG_INF, s)
+    if exclude is not None:
+        hit = jnp.any(ids[None, None, :] == exclude[:, :, None], axis=1)
+        s = jnp.where(hit, NEG_INF, s)
+    return s
+
+
+def full_catalog_topk(
+    params,
+    cfg: ModelConfig,
+    profile,
+    attrs_table: jnp.ndarray,
+    k: int,
+    *,
+    mesh: Optional[Mesh] = None,
+    ctx: Optional[jnp.ndarray] = None,
+    exclude: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k items over the whole catalog: (scores [B,k], item ids [B,k]).
+
+    ``exclude``: optional [B, E] item ids to remove per user (e.g. the
+    user's training history for leave-one-out retrieval; 0 entries are
+    no-ops). With a ``mesh`` carrying a ``model`` axis of size > 1, the
+    item/attr tables must be row-sharded (``pad_table_rows``); queries ride
+    the ``data`` axis; ICI traffic is O(shards · k) per query.
+    """
+    q = queries(params, cfg, profile, attrs_table)
+    if exclude is None:
+        exclude = jnp.zeros((q.shape[0], 1), jnp.int32)
+
+    if mesh is None or mesh.shape.get("model", 1) == 1:
+        ids = jnp.arange(attrs_table.shape[0], dtype=jnp.int32)
+        e = embed_catalog(params, cfg, attrs_table, ctx, global_ids=ids)
+        s = _masked_scores(q, e, jnp.where(ids < cfg.n_items, ids, 0), exclude)
+        return jax.lax.top_k(s, k)
+
+    has_items = "items" in params["embed"]
+    items_table = params["embed"]["items"] if has_items else attrs_table[:, :1]
+
+    def local(attrs_shard, items_shard, q, exclude):
+        rows = attrs_shard.shape[0]
+        lo = jax.lax.axis_index("model") * rows
+        gids = (lo + jnp.arange(rows, dtype=jnp.int32))
+        e = embed_catalog(
+            params, cfg, attrs_shard, ctx,
+            table_rows=items_shard if has_items else None, global_ids=gids)
+        mask_ids = jnp.where(gids < cfg.n_items, gids, 0)  # pad rows → 0
+        s = _masked_scores(q, e, mask_ids, exclude)
+        v, i = jax.lax.top_k(s, k)  # local top-k per data-shard row
+        cand_ids = jnp.take(gids, i)
+        av = jax.lax.all_gather(v, "model")  # [shards, b_local, k]
+        ai = jax.lax.all_gather(cand_ids, "model")
+        b = q.shape[0]
+        av = jnp.transpose(av, (1, 0, 2)).reshape(b, -1)
+        ai = jnp.transpose(ai, (1, 0, 2)).reshape(b, -1)
+        fv, fi = jax.lax.top_k(av, k)
+        return fv, jnp.take_along_axis(ai, fi, axis=1)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model", None),
+                  P("data", None), P("data", None)),
+        out_specs=(P("data", None), P("data", None)),
+        # outputs ARE replicated over `model` after the all_gather+top_k,
+        # but the varying-axes analysis can't prove it through top_k
+        check_vma=False,
+    )(attrs_table, items_table, q, exclude)
+
+
+def retrieval_hr_ndcg(
+    topk_ids: jnp.ndarray, positives: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-sum HR@k and NDCG@k of the held-out positive's rank in the
+    full-catalog top-k (same arithmetic as the sampled evaluator,
+    ``src/train.py:15-32``)."""
+    hit = topk_ids[:, :k] == positives[:, None]  # [B, k]
+    any_hit = hit.any(axis=1)
+    hr = jnp.sum(any_hit.astype(jnp.float32))
+    ranks = jnp.argmax(hit, axis=1)  # first (only) hit position
+    gain = 1.0 / jnp.log2(ranks.astype(jnp.float32) + 2.0)
+    ndcg = jnp.sum(jnp.where(any_hit, gain, 0.0))
+    return hr, ndcg

@@ -38,6 +38,7 @@ import optax
 
 from carca_tpu.config import Config
 from carca_tpu.data.dataset import BatchBuilder, epoch_batches
+from carca_tpu.data.prefetch import prefetch
 from carca_tpu.data.loaders import Catalog
 from carca_tpu.models.carca import carca_apply
 from carca_tpu.models.losses import masked_bce
@@ -108,6 +109,29 @@ def make_eval_step(mc, top_k: int) -> Callable:
     return eval_step
 
 
+def make_knn_eval_step(top_k: int) -> Callable:
+    """Eval step for the non-learned KNN content baseline (``src/knn.py``),
+    pluggable into ``evaluate``. HR/NDCG follow the shared harness; the BCE
+    loss is computed on scores clipped into (0, 1) — the reference feeds raw
+    dot products to BCE (``src/train.py:45``), which NaNs on negative dots;
+    ranking metrics are unaffected either way."""
+
+    @jax.jit
+    def eval_step(params, attrs_table, batch):
+        from carca_tpu.models.knn import knn_apply
+        y_pred = knn_apply((batch["p_x"], None, None),
+                           [(batch["o_x"], None, None)],
+                           attrs_table=attrs_table)
+        mask = get_mask(batch["o_x"])
+        y_prob = jnp.clip(y_pred, 1e-7, 1.0 - 1e-7)
+        loss = masked_bce(y_prob, batch["y_true"], mask)
+        row_mask = get_mask(batch["o_x"][:, 0])
+        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+        return hr, ndcg, loss
+
+    return eval_step
+
+
 def evaluate(
     eval_step: Callable,
     params,
@@ -122,18 +146,46 @@ def evaluate(
     hr = ndcg = loss_sum = 0.0
     total = 0
     n_batches = 0
-    for rows in epoch_batches(users, batch_size, shuffle=False):
-        batch = builder.eval_batch(rows, rng, mode)
-        n_valid = int(batch.pop("n_valid"))
-        h, n, l = eval_step(params, attrs_table, batch)
+    def produce():
+        for rows in epoch_batches(users, batch_size, shuffle=False):
+            b = builder.eval_batch(rows, rng, mode)
+            yield int(b.pop("n_valid")), b
+
+    results = []  # device scalars; read only at the end (no per-step sync)
+    for n_valid, batch in prefetch(produce()):
+        results.append(eval_step(params, attrs_table, batch))
+        total += n_valid
+        n_batches += 1
+    for h, n, l in results:
         hr += float(h)
         ndcg += float(n)
         loss_sum += float(l)
-        total += n_valid
-        n_batches += 1
     if total == 0:
         return 0.0, 0.0, 0.0
     return hr / total, ndcg / total, loss_sum / max(n_batches, 1)
+
+
+def evaluate_knn(cfg: Config, catalog: Catalog, log: bool = True) -> Dict[str, float]:
+    """Eval-only KNN baseline through the shared harness (the reference
+    pairs ``KNN()`` with the same ``evaluate``, ``src/knn.py`` + SURVEY §3.5)."""
+    mc, tc = cfg.model, cfg.train
+    builder = BatchBuilder(catalog, mc.seq_len, mc.target_len, test=tc.test)
+    attrs_table = jnp.asarray(catalog.attrs)
+    step = make_knn_eval_step(tc.top_k)
+    rng = np.random.default_rng(tc.seed)
+    host_root = np.random.default_rng(tc.seed)
+    out: Dict[str, float] = {}
+    for mode in ("val", "test"):
+        users = builder.users(mode)
+        if len(users) > cfg.data.eval_subsample:
+            users = host_root.choice(users, cfg.data.eval_subsample,
+                                     replace=False)
+        hr, ndcg, loss = evaluate(step, {}, attrs_table, builder, users,
+                                  tc.batch_size, rng, mode)
+        out.update({f"{mode}_hr": hr, f"{mode}_ndcg": ndcg, f"{mode}_loss": loss})
+        if tc.verbose and log:
+            print(f"KNN {mode}: HR = {hr:.4f}, NDCG = {ndcg:.4f}")
+    return out
 
 
 def fit(
@@ -207,16 +259,32 @@ def fit(
     for epoch in range(start_epoch, tc.epochs + 1):
         ep_rng = np.random.default_rng([tc.seed, epoch])
         t0 = time.perf_counter()
-        sum_loss, n_batches, n_examples = 0.0, 0, 0
-        for rows in epoch_batches(train_users, tc.batch_size, ep_rng, shuffle=True):
-            batch = builder.train_batch(rows, ep_rng)
-            n_valid = int(batch.pop("n_valid"))
-            state, loss = train_step(state, attrs_table, batch)
-            sum_loss += float(loss)
+        n_batches, n_examples = 0, 0
+        losses = []  # device scalars; read after the epoch (no per-step sync)
+
+        def produce():
+            for rows in epoch_batches(train_users, tc.batch_size, ep_rng,
+                                      shuffle=True):
+                b = builder.train_batch(rows, ep_rng)
+                yield int(b.pop("n_valid")), b
+
+        profiling = tc.profile and epoch == start_epoch + 1  # skip compile epoch
+        if profiling:
+            jax.profiler.start_trace(os.path.join(tc.out_dir, "profile"))
+        for n_valid, batch in prefetch(produce()):
+            if profiling:
+                with jax.profiler.StepTraceAnnotation("train", step_num=n_batches):
+                    state, loss = train_step(state, attrs_table, batch)
+            else:
+                state, loss = train_step(state, attrs_table, batch)
+            losses.append(loss)
             n_batches += 1
             n_examples += n_valid
         jax.block_until_ready(state.params)
+        if profiling:
+            jax.profiler.stop_trace()
         dt = time.perf_counter() - t0
+        sum_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
 
         now = datetime.now().strftime("%H:%M:%S")
         train_loss = sum_loss / max(n_batches, 1)

@@ -1,0 +1,80 @@
+"""Full-catalog retrieval: sharded top-k must equal the single-device
+brute-force ranking exactly (values and ids), and the HR/NDCG arithmetic
+must match the sampled evaluator's formulas (src/train.py:15-32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carca_tpu.config import ModelConfig
+from carca_tpu.data.synthetic import synthetic_catalog
+from carca_tpu.models.carca import carca_init
+from carca_tpu.parallel.mesh import make_mesh, pad_table_rows
+from carca_tpu.parallel.retrieval import (embed_catalog, full_catalog_topk,
+                                          retrieval_hr_ndcg)
+
+
+@pytest.fixture(scope="module", params=["dot", "wdot"])
+def setup(request):
+    cat = synthetic_catalog(n_users=40, n_real_items=111, seed=11)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=8, target_len=10, n_blocks=2,
+                     n_heads=2, dropout=0.0, embedding="all",
+                     decoder=request.param)
+    params = carca_init(jax.random.PRNGKey(0), mc)
+    rng = np.random.default_rng(0)
+    b = 8
+    p_x = jnp.asarray(rng.integers(0, mc.n_items, (b, mc.seq_len)), jnp.int32)
+    p_c = jnp.asarray(rng.normal(size=(b, mc.seq_len, mc.n_ctx)), jnp.float32)
+    attrs = jnp.asarray(cat.attrs)
+    return mc, params, (p_x, None, p_c), attrs
+
+
+def test_sharded_topk_matches_single_device(setup):
+    mc, params, profile, attrs = setup
+    k = 10
+    v0, i0 = full_catalog_topk(params, mc, profile, attrs, k)
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    attrs_p = jnp.asarray(pad_table_rows(np.asarray(attrs), mesh))
+    params_p = dict(params, embed=dict(
+        params["embed"],
+        items=jnp.asarray(pad_table_rows(
+            np.asarray(params["embed"]["items"]), mesh))))
+    v1, i1 = full_catalog_topk(params_p, mc, profile, attrs_p, k, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_topk_matches_bruteforce_and_excludes(setup):
+    mc, params, profile, attrs = setup
+    k = 5
+    exclude = jnp.asarray(
+        np.random.default_rng(1).integers(1, mc.n_items, (8, 4)), jnp.int32)
+    v, ids = full_catalog_topk(params, mc, profile, attrs, k, exclude=exclude)
+
+    from carca_tpu.parallel.retrieval import queries
+    q = queries(params, mc, profile, attrs)
+    e = embed_catalog(params, mc, attrs)
+    s = np.array(jnp.einsum("bd,rd->br", q, e))
+    s[:, 0] = -np.inf
+    for b in range(8):
+        s[b, np.asarray(exclude[b])] = -np.inf
+        order = np.argsort(-s[b], kind="stable")[:k]
+        np.testing.assert_allclose(np.asarray(v[b]), s[b][order], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ids[b]), order)
+        assert not np.isin(np.asarray(ids[b]), np.asarray(exclude[b])).any()
+        assert 0 not in np.asarray(ids[b])
+
+
+def test_retrieval_hr_ndcg_formula():
+    # positive at rank 0, rank 3, and absent
+    topk = jnp.asarray([[7, 2, 3], [5, 6, 7], [1, 2, 3]], jnp.int32)
+    pos = jnp.asarray([7, 7, 9], jnp.int32)
+    hr, ndcg = retrieval_hr_ndcg(topk, pos, k=3)
+    assert float(hr) == 2.0
+    want = 1.0 / np.log2(0 + 2) + 1.0 / np.log2(2 + 2)
+    np.testing.assert_allclose(float(ndcg), want, rtol=1e-6)
