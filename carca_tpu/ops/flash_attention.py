@@ -1,24 +1,30 @@
 """Fused masked multi-head attention as a Pallas TPU kernel.
 
 Implements the reference's exact (nonstandard) attention semantics
-(``src/carca.py:238-259``) in one VMEM-resident kernel per (batch, head,
-q-block) grid cell — the pairwise mask is built *inside* the kernel from the
-1-D row masks (never materialized in HBM), logits get the additive
-``−(2³²−1)`` mask **before** the ``√(d/H)`` scaling, softmax runs in fp32,
-the post-softmax re-mask zeroes fully-padded query rows, dropout is applied
-**to the attention weights** with the on-core PRNG, and the PV matmul
-accumulates in fp32 on the MXU.
+(``src/carca.py:238-259``) in one VMEM-resident kernel per
+(batch-block, head, q-block) grid cell — the pairwise mask is built *inside*
+the kernel from the 1-D row masks (never materialized in HBM), logits get
+the additive ``−(2³²−1)`` mask **before** the ``√(d/H)`` scaling, softmax
+runs in fp32, the post-softmax re-mask zeroes fully-padded query rows,
+dropout is applied **to the attention weights** with the on-core PRNG, and
+the PV matmuls accumulate in fp32 on the MXU.
 
 Backward is a second fused kernel (registered via ``jax.custom_vjp``) that
-recomputes the weights block-wise — classic flash-attention rematerialization
-— and regenerates the identical dropout bits from the same per-block seed, so
-no ``[B,H,Lq,Lk]`` tensor ever exists in HBM in either direction.
+recomputes the weights block-wise — classic flash-attention
+rematerialization — and regenerates the identical dropout bits from the same
+per-block seed, so no ``[B,H,Lq,Lk]`` tensor ever exists in HBM in either
+direction.
 
 Why not textbook online-softmax flash? The CARCA regime is Lq ≤ ~512,
-Lk ≤ ~256 (seq_len 50–200, eval candidates 101): a whole ``[block_q, Lk]``
-score tile fits VMEM with room to spare, so a single-pass kernel with the
-full K in VMEM is the speed-of-light shape here; the q-block grid dimension
-keeps it correct for longer sequences.
+Lk ≤ ~256 (seq_len 50–200, eval candidates 101): a whole score tile fits
+VMEM with room to spare, so a single-pass kernel with the full K in VMEM is
+the speed-of-light shape here. Two grid refinements matter instead:
+
+* ``block_b`` batch rows are processed per program with *batched*
+  ``dot_general`` — at production batch sizes (B ≥ 1024) a per-(b,h) grid
+  degenerates into thousands of latency-bound micro-programs (measured 86
+  ms/step at B=2048 vs 3 ms with blocking);
+* a q-block grid dimension keeps VMEM bounded for long sequences.
 
 The pure-jnp path in ``carca_tpu.models.attention.mha_apply`` is the
 correctness oracle; on non-TPU backends this module runs the same kernels in
@@ -38,6 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_MASK = -(2.0**32) + 1.0  # src/carca.py:251
 
+_BATCHED_QKT = (((2,), (2,)), ((0,), (0,)))  # [BB,Lq,dh]x[BB,Lk,dh] → [BB,Lq,Lk]
+_BATCHED_PV = (((2,), (1,)), ((0,), (0,)))  # [BB,Lq,Lk]x[BB,Lk,dh] → [BB,Lq,dh]
+_BATCHED_T = (((1,), (1,)), ((0,), (0,)))  # [BB,Lq,Lk]ᵀ-style contraction
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -49,6 +59,7 @@ class _AttnConfig(NamedTuple):
     causal: Optional[int]  # torch.tril diagonal offset, or None
     scale: float  # √(d/H); logits = (QKᵀ + add) / scale
     dropout_rate: float  # on attention weights (src/carca.py:258)
+    block_b: int
     block_q: int
     interpret: bool
     compute_dtype: str  # matmul input dtype ("float32" | "bfloat16")
@@ -60,21 +71,20 @@ class _AttnConfig(NamedTuple):
 
 
 def _weights_block(cfg: _AttnConfig, q, k, qm, km, row0: jnp.ndarray):
-    """Shared fwd/bwd math: masked softmax weights for one q block.
+    """Shared fwd/bwd math: masked softmax weights for one (b-block, q-block).
 
-    q [BQ, dh], k [Lk, dh], qm [BQ], km [Lk]; ``row0`` = absolute position of
-    the block's first query row. Returns (w_raw, m) — the softmax output
-    *before* the post-softmax re-mask, and the pair mask.
+    q [BB, BQ, dh], k [BB, Lk, dh], qm [BB, BQ], km [BB, Lk]; ``row0`` =
+    absolute position of the block's first query row. Returns (w_raw, m) —
+    softmax output *before* the post-softmax re-mask, and the pair mask.
     """
-    bq, lk = q.shape[0], k.shape[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [BQ, Lk]
-    m = qm[:, None] * km[None, :]
+    bb, bq, _ = q.shape
+    lk = k.shape[1]
+    s = jax.lax.dot_general(q, k, dimension_numbers=_BATCHED_QKT,
+                            preferred_element_type=jnp.float32)
+    m = qm[:, :, None] * km[:, None, :]
     if cfg.causal is not None:
-        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, lk), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, lk), 1)
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bb, bq, lk), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bb, bq, lk), 2)
         m = m * (cols <= rows + cfg.causal).astype(m.dtype)
     add = jnp.where(m > 0, 0.0, NEG_MASK)
     z = (s + add) * (1.0 / cfg.scale)
@@ -85,7 +95,8 @@ def _weights_block(cfg: _AttnConfig, q, k, qm, km, row0: jnp.ndarray):
 
 
 def _dropout_bits(cfg: _AttnConfig, seed_ref, shape):
-    """Per-(b,h,qblock) deterministic keep mask — identical in fwd and bwd."""
+    """Per-(b-block, h, q-block) deterministic keep mask — identical in fwd
+    and bwd."""
     b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nh, nq = pl.num_programs(1), pl.num_programs(2)
     pltpu.prng_seed(seed_ref[0] + (b * nh + h) * nq + i)
@@ -99,34 +110,33 @@ def _fwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
                 km_ref, o_ref):
     i = pl.program_id(2)
     cd = jnp.dtype(cfg.compute_dtype)
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    w_raw, m = _weights_block(cfg, q, k, qm_ref[0, 0], km_ref[0, 0],
+    q, k, v = q_ref[:, 0], k_ref[:, 0], v_ref[:, 0]  # [BB, L, dh]
+    w_raw, m = _weights_block(cfg, q, k, qm_ref[:, 0], km_ref[:, 0],
                               i * cfg.block_q)
     w = w_raw * m  # post-softmax re-mask (src/carca.py:256)
     if cfg.dropout_rate > 0.0:
         keep_mask = _dropout_bits(cfg, seed_ref, w.shape)
         w = jnp.where(keep_mask, w * (1.0 / (1.0 - cfg.dropout_rate)), 0.0)
-    o_ref[0, 0] = jnp.dot(w.astype(cd), v.astype(cd),
-                          preferred_element_type=jnp.float32)
+    o_ref[:, 0] = jax.lax.dot_general(
+        w.astype(cd), v.astype(cd), dimension_numbers=_BATCHED_PV,
+        preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
                 km_ref, do_ref, dq_ref, dk_ref, dv_ref):
     i = pl.program_id(2)
     cd = jnp.dtype(cfg.compute_dtype)
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-    do = do_ref[0, 0]
+    q, k, v = q_ref[:, 0], k_ref[:, 0], v_ref[:, 0]
+    do = do_ref[:, 0]
 
-    w_raw, m = _weights_block(cfg, q, k, qm_ref[0, 0], km_ref[0, 0],
+    w_raw, m = _weights_block(cfg, q, k, qm_ref[:, 0], km_ref[:, 0],
                               i * cfg.block_q)
     wm = w_raw * m
 
     # dO → through dropout → through re-mask → softmax jacobian → QKᵀ
-    dwd = jax.lax.dot_general(  # dO Vᵀ : [BQ, Lk]
-        do.astype(cd), v.astype(cd),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dwd = jax.lax.dot_general(  # dO Vᵀ : [BB, BQ, Lk]
+        do.astype(cd), v.astype(cd), dimension_numbers=_BATCHED_QKT,
+        preferred_element_type=jnp.float32)
     if cfg.dropout_rate > 0.0:
         keep_mask = _dropout_bits(cfg, seed_ref, dwd.shape)
         inv_keep = 1.0 / (1.0 - cfg.dropout_rate)
@@ -140,22 +150,21 @@ def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
     ds = dz * (1.0 / cfg.scale)
 
     dsc = ds.astype(cd)
-    dq_ref[0, 0] = jnp.dot(dsc, k.astype(cd), preferred_element_type=jnp.float32)
+    dq_ref[:, 0] = jax.lax.dot_general(  # dS K : [BB, BQ, dh]
+        dsc, k.astype(cd), dimension_numbers=_BATCHED_PV,
+        preferred_element_type=jnp.float32)
 
     @pl.when(i == 0)
     def _():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dk_ref[:, 0] = jnp.zeros_like(dk_ref[:, 0])
+        dv_ref[:, 0] = jnp.zeros_like(dv_ref[:, 0])
 
-    dk_ref[0, 0] += jax.lax.dot_general(  # dSᵀ Q : [Lk, dh]
-        dsc, q.astype(cd), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dv_ref[0, 0] += jax.lax.dot_general(  # (wd)ᵀ dO : [Lk, dh]
-        wd.astype(cd), do.astype(cd),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dk_ref[:, 0] += jax.lax.dot_general(  # dSᵀ Q : [BB, Lk, dh]
+        dsc, q.astype(cd), dimension_numbers=_BATCHED_T,
+        preferred_element_type=jnp.float32)
+    dv_ref[:, 0] += jax.lax.dot_general(  # (wd)ᵀ dO : [BB, Lk, dh]
+        wd.astype(cd), do.astype(cd), dimension_numbers=_BATCHED_T,
+        preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -164,23 +173,23 @@ def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
 
 
 def _specs(cfg: _AttnConfig, lqp: int, lkp: int, dh: int):
-    bq = cfg.block_q
+    bb, bq = cfg.block_b, cfg.block_q
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-        pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0),
+        pl.BlockSpec((bb, 1, bq, dh), lambda b, h, i: (b, h, i, 0),
                      memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
+        pl.BlockSpec((bb, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
+        pl.BlockSpec((bb, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),  # v
-        pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, 0, i),
+        pl.BlockSpec((bb, 1, bq), lambda b, h, i: (b, 0, i),
                      memory_space=pltpu.VMEM),  # q_mask [B, 1, Lqp]
-        pl.BlockSpec((1, 1, lkp), lambda b, h, i: (b, 0, 0),
+        pl.BlockSpec((bb, 1, lkp), lambda b, h, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # k_mask [B, 1, Lkp]
     ]
-    q_like = pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0),
+    q_like = pl.BlockSpec((bb, 1, bq, dh), lambda b, h, i: (b, h, i, 0),
                           memory_space=pltpu.VMEM)
-    kv_like = pl.BlockSpec((1, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
+    kv_like = pl.BlockSpec((bb, 1, lkp, dh), lambda b, h, i: (b, h, 0, 0),
                            memory_space=pltpu.VMEM)
     return in_specs, q_like, kv_like
 
@@ -193,14 +202,17 @@ def _cost(b: int, h: int, lq: int, lk: int, dh: int, n_matmuls: int):
     )
 
 
+def _grid(cfg: _AttnConfig, b: int, h: int, lqp: int):
+    return (b // cfg.block_b, h, lqp // cfg.block_q)
+
+
 def _fwd_call(cfg: _AttnConfig, qh, kh, vh, qm, km, seed):
     b, h, lqp, dh = qh.shape
     lkp = kh.shape[2]
-    grid = (b, h, lqp // cfg.block_q)
     in_specs, q_like, _ = _specs(cfg, lqp, lkp, dh)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
-        grid=grid,
+        grid=_grid(cfg, b, h, lqp),
         in_specs=in_specs,
         out_specs=q_like,
         out_shape=jax.ShapeDtypeStruct((b, h, lqp, dh), jnp.float32),
@@ -212,12 +224,11 @@ def _fwd_call(cfg: _AttnConfig, qh, kh, vh, qm, km, seed):
 def _bwd_call(cfg: _AttnConfig, qh, kh, vh, qm, km, seed, do):
     b, h, lqp, dh = qh.shape
     lkp = kh.shape[2]
-    grid = (b, h, lqp // cfg.block_q)
     in_specs, q_like, kv_like = _specs(cfg, lqp, lkp, dh)
     in_specs = in_specs + [q_like]  # do
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
-        grid=grid,
+        grid=_grid(cfg, b, h, lqp),
         in_specs=in_specs,
         out_specs=(q_like, kv_like, kv_like),
         out_shape=(
@@ -255,6 +266,19 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _pick_block_b(b: int, lq: int, lk: int) -> int:
+    """Largest power-of-two divisor of B such that VMEM holds the working
+    set: the bwd kernel keeps ~6 score tiles (block_b × block_q × Lkp fp32)
+    live plus double-buffered q/k/v/do DMA blocks, against the 16 MB scoped
+    limit — a 512 KB score-tile budget keeps the total under ~6 MB."""
+    budget = 512 * 1024  # bytes for one score tile
+    cap = max(1, budget // max(4 * lq * lk, 1))
+    bb = 1
+    while bb * 2 <= min(b, cap, 32) and b % (bb * 2) == 0:
+        bb *= 2
+    return bb
+
+
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -268,12 +292,13 @@ def fused_attention(
     rng: Optional[jax.Array] = None,
     n_heads: int = 1,
     block_q: int = 512,
+    block_b: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused attention on post-projection tensors.
 
     q [B, Lq, d], k/v [B, Lk, d], masks [B, Lq]/[B, Lk] (float 0/1).
-    Returns the merged-head context [B, Lq, d] in float32. Padding along L is
-    inserted (and stripped) here; padded rows are fully masked, which the
+    Returns the merged-head context [B, Lq, d] in float32. Padding along L
+    is inserted (and stripped) here; padded rows are fully masked, which the
     post-softmax re-mask turns into exact zeros, so padding never changes
     results.
     """
@@ -297,6 +322,7 @@ def fused_attention(
     bq = min(block_q, max(8, _round_up(lq, 8)))
     lqp = _round_up(lq, bq)
     lkp = _round_up(lk, 128 if not interpret else 8)
+    bb = block_b or _pick_block_b(b, bq, lkp)
     qh = jnp.pad(qh, ((0, 0), (0, 0), (0, lqp - lq), (0, 0)))
     kh = jnp.pad(kh, ((0, 0), (0, 0), (0, lkp - lk), (0, 0)))
     vh = jnp.pad(vh, ((0, 0), (0, 0), (0, lkp - lk), (0, 0)))
@@ -311,8 +337,8 @@ def fused_attention(
         rate = 0.0
 
     cfg = _AttnConfig(
-        causal=causal, scale=float(scale), dropout_rate=rate, block_q=bq,
-        interpret=interpret, compute_dtype=str(q.dtype),
+        causal=causal, scale=float(scale), dropout_rate=rate, block_b=bb,
+        block_q=bq, interpret=interpret, compute_dtype=str(q.dtype),
     )
     out = _attention(cfg, qh, kh, vh, qm, km, seed)  # [B, H, Lqp, dh]
     out = out[:, :, :lq, :].transpose(0, 2, 1, 3).reshape(b, lq, d)
