@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", type=str, default="results/run")
 
     p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--lr_schedule", type=str, default="none",
+                   help="none | cosine | exponential")
+    p.add_argument("--lr_decay_steps", type=int, default=0)
+    p.add_argument("--lr_decay_rate", type=float, default=0.1)
+    p.add_argument("--debug_nans", type=parse_bool, default=False)
     p.add_argument("--seq_len", type=int, default=50)
     p.add_argument("--n_blocks", type=int, default=3)
     p.add_argument("--n_heads", type=int, default=2)
@@ -98,10 +103,13 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         synthetic_items=args.synthetic_items,
     )
     tc = TrainConfig(
-        lr=args.lr, beta1=args.beta1, beta2=args.beta2, l2_reg=args.l2_reg,
+        lr=args.lr, lr_schedule=args.lr_schedule,
+        lr_decay_steps=args.lr_decay_steps, lr_decay_rate=args.lr_decay_rate,
+        beta1=args.beta1, beta2=args.beta2, l2_reg=args.l2_reg,
         batch_size=args.batch_size, epochs=args.epochs,
         early_stop=args.early_stop, seed=args.seed, test=args.test,
         out_dir=args.out_dir, checkpoint_resume=args.resume,
+        debug_nans=args.debug_nans,
     )
     return Config(model=mc, data=dc, train=tc)
 

@@ -103,6 +103,11 @@ class TrainConfig:
     ``scripts/training.py:40-59``)."""
 
     lr: float = 1e-3
+    # optional LR schedule (the reference's train() accepts a torch
+    # scheduler, src/train.py:68,110-111, though its CLI never passes one)
+    lr_schedule: str = "none"  # none | cosine | exponential
+    lr_decay_steps: int = 0  # horizon in steps (0 → disabled)
+    lr_decay_rate: float = 0.1  # exponential: rate per horizon; cosine: alpha
     beta1: float = 0.9
     beta2: float = 0.98
     l2_reg: float = 0.0  # torch Adam weight_decay semantics (grad += wd * p)
@@ -119,6 +124,7 @@ class TrainConfig:
     mesh_axes: Tuple[str, ...] = ("data",)  # e.g. ("data", "model")
     shard_embeddings: bool = False  # row-shard item/attr tables over 'model'
     profile: bool = False  # jax.profiler trace annotations
+    debug_nans: bool = False  # jax_debug_nans (SURVEY §5 race/NaN checks)
     checkpoint_resume: bool = True
 
 

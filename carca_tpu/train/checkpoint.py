@@ -66,10 +66,8 @@ class CheckpointKeeper:
         step = self._best.best_step()
         if step is None:
             return None
-        for info in self._best.checkpoints:
-            if info.step == step and info.metrics is not None:
-                return dict(info.metrics)
-        return None
+        metrics = self._best.metrics(step)
+        return dict(metrics) if metrics is not None else None
 
     def close(self) -> None:
         self._best.close()

@@ -200,6 +200,8 @@ def fit(
     (best) state and a dict of final metrics."""
     mc, tc = cfg.model, cfg.train
 
+    if tc.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(tc.out_dir, exist_ok=True)
     cfg.dump_args_json(os.path.join(tc.out_dir, "args.json"))
 

@@ -36,7 +36,18 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     if tc.l2_reg > 0.0:
         chain.append(optax.add_decayed_weights(tc.l2_reg))
     chain.append(optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=1e-8))
-    chain.append(optax.scale(-tc.lr))
+    if tc.lr_schedule == "none" or tc.lr_decay_steps <= 0:
+        chain.append(optax.scale(-tc.lr))
+    elif tc.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(tc.lr, tc.lr_decay_steps,
+                                            alpha=tc.lr_decay_rate)
+        chain.append(optax.scale_by_learning_rate(sched))
+    elif tc.lr_schedule == "exponential":
+        sched = optax.exponential_decay(tc.lr, tc.lr_decay_steps,
+                                        tc.lr_decay_rate)
+        chain.append(optax.scale_by_learning_rate(sched))
+    else:
+        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
     return optax.chain(*chain)
 
 
