@@ -106,14 +106,20 @@ def full_catalog_topk(
     mesh: Optional[Mesh] = None,
     ctx: Optional[jnp.ndarray] = None,
     exclude: Optional[jnp.ndarray] = None,
+    catalog_emb: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k items over the whole catalog: (scores [B,k], item ids [B,k]).
 
     ``exclude``: optional [B, E] item ids to remove per user (e.g. the
     user's training history for leave-one-out retrieval; 0 entries are
-    no-ops). With a ``mesh`` carrying a ``model`` axis of size > 1, the
-    item/attr tables must be row-sharded (``pad_table_rows``); queries ride
-    the ``data`` axis; ICI traffic is O(shards · k) per query.
+    no-ops). ``catalog_emb``: precomputed ``embed_catalog`` output —
+    pass it when evaluating many query batches so the catalog is embedded
+    once per sweep, not once per batch (single-device path only; the
+    sharded path embeds shard-locally, which is already once per call per
+    1/N of the catalog). With a ``mesh`` carrying a ``model`` axis of
+    size > 1, the item/attr tables must be row-sharded
+    (``pad_table_rows``); queries ride the ``data`` axis; ICI traffic is
+    O(shards · k) per query.
     """
     q = queries(params, cfg, profile, attrs_table)
     if exclude is None:
@@ -121,7 +127,8 @@ def full_catalog_topk(
 
     if mesh is None or mesh.shape.get("model", 1) == 1:
         ids = jnp.arange(attrs_table.shape[0], dtype=jnp.int32)
-        e = embed_catalog(params, cfg, attrs_table, ctx, global_ids=ids)
+        e = catalog_emb if catalog_emb is not None else embed_catalog(
+            params, cfg, attrs_table, ctx, global_ids=ids)
         s = _masked_scores(q, e, jnp.where(ids < cfg.n_items, ids, 0), exclude)
         return jax.lax.top_k(s, k)
 

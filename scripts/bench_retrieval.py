@@ -1,0 +1,88 @@
+"""Full-catalog retrieval benchmark (BASELINE.json configs[4] scale).
+
+Measures candidates scored/sec: embed an n_items catalog once, then per
+query batch encode profiles and rank the entire catalog (top-k). The
+reference has no retrieval path at all (sampled 101-candidate eval only),
+so this is an absolute capability measurement, not a comparison.
+
+    python scripts/bench_retrieval.py [--items 1000000] [--batch 256] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", type=int, default=1_000_000)
+    ap.add_argument("--attrs", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--seq_len", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    from carca_tpu.config import ModelConfig
+    from carca_tpu.models.carca import carca_init
+    from carca_tpu.parallel.retrieval import embed_catalog, full_catalog_topk
+
+    mc = ModelConfig(
+        n_items=args.items, n_attrs=args.attrs, n_ctx=4, d=args.d, g=256,
+        seq_len=args.seq_len, n_blocks=2, n_heads=2, dropout=0.0,
+        embedding="all", decoder="dot", use_pallas=jax.default_backend() == "tpu",
+    )
+    params = carca_init(jax.random.PRNGKey(0), mc)
+    rng = np.random.default_rng(0)
+    attrs = jnp.asarray(rng.normal(size=(args.items, args.attrs)).astype(np.float32))
+    b = args.batch
+    p_x = jnp.asarray(rng.integers(1, args.items, (b, mc.seq_len)), jnp.int32)
+    p_c = jnp.asarray(rng.normal(size=(b, mc.seq_len, mc.n_ctx)), jnp.float32)
+    profile = (p_x, None, p_c)
+
+    # catalog embedded once per eval sweep (amortized; excluded from the
+    # per-query cost but reported separately)
+    embed_fn = jax.jit(lambda p, a: embed_catalog(p, mc, a))
+    t0 = time.perf_counter()
+    e = embed_fn(params, attrs)
+    jax.block_until_ready(e)
+    t_embed = time.perf_counter() - t0
+
+    topk = jax.jit(
+        lambda p, prof, a, emb: full_catalog_topk(p, mc, prof, a, args.k,
+                                                  catalog_emb=emb))
+    v, ids = topk(params, profile, attrs, e)
+    jax.block_until_ready(ids)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        v, ids = topk(params, profile, attrs, e)
+    jax.block_until_ready(ids)
+    dt = time.perf_counter() - t0
+
+    queries_per_sec = args.steps * b / dt
+    result = {
+        "metric": "catalog_candidates_scored_per_sec",
+        "value": round(queries_per_sec * args.items, 0),
+        "unit": "candidates/sec/chip",
+        "queries_per_sec": round(queries_per_sec, 1),
+        "catalog_items": args.items,
+        "catalog_embed_seconds": round(t_embed, 3),
+        "top_k": args.k,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
