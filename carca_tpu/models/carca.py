@@ -64,12 +64,19 @@ def encode_profile(
     )
     p_e = layers.dropout(rngs[0], p_e, cfg.dropout, train)  # src/carca.py:416
 
-    block_fn = encoder.encoder_block_apply
     if cfg.remat:
-        block_fn = jax.checkpoint(block_fn, static_argnums=(1,),
-                                  static_argnames=("train",))
+        # close over the static cfg/train; jax.checkpoint takes only
+        # positional pytree args
+        def block_fn(bp, x, mask, r):
+            return encoder.encoder_block_apply(bp, cfg, x, mask,
+                                               train=train, rng=r)
+        block_fn = jax.checkpoint(block_fn)
+    else:
+        def block_fn(bp, x, mask, r):
+            return encoder.encoder_block_apply(bp, cfg, x, mask,
+                                               train=train, rng=r)
     for bp, br in zip(params["blocks"], rngs[1:]):
-        p_e = block_fn(bp, cfg, p_e, p_mask, train=train, rng=br)
+        p_e = block_fn(bp, p_e, p_mask, br)
 
     p_e = layers.layer_norm(params["norm"], p_e)  # src/carca.py:421
     return p_e, p_mask

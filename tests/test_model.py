@@ -199,3 +199,28 @@ def test_dropout_changes_train_only():
     y_d = carca_apply(params, cfg, prof, tgts, train=False)
     assert (np.asarray(y_a) != np.asarray(y_b)).any()  # rng-dependent at train
     np.testing.assert_array_equal(np.asarray(y_c), np.asarray(y_d))  # eval deterministic
+
+
+def test_remat_matches_no_remat(batch):
+    """jax.checkpoint on the encoder stack must not change values or grads."""
+    p_x, o_x, attrs, p_c, o_c = batch
+    key = jax.random.PRNGKey(9)
+    cfg0 = mk_cfg(decoder="ca", remat=False)
+    cfg1 = mk_cfg(decoder="ca", remat=True)
+    params = carca_init(key, cfg0)
+    at = jnp.asarray(attrs)
+    profile = (jnp.asarray(p_x), None, jnp.asarray(p_c))
+    targets = [(jnp.asarray(o_x), None, jnp.asarray(o_c))]
+
+    def loss(params, cfg):
+        y = carca_apply(params, cfg, profile, targets, train=False,
+                        attrs_table=at)
+        return jnp.sum(y ** 2)
+
+    v0, g0 = jax.value_and_grad(loss)(params, cfg0)
+    v1, g1 = jax.value_and_grad(loss)(params, cfg1)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
