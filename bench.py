@@ -25,8 +25,9 @@ import numpy as np
 def main() -> None:
     from carca_tpu.config import ModelConfig, TrainConfig
     from carca_tpu.data.dataset import BatchBuilder, epoch_batches
+    from carca_tpu.data.device_pipeline import DeviceDataset
     from carca_tpu.data.synthetic import synthetic_catalog
-    from carca_tpu.train.loop import make_train_step
+    from carca_tpu.train.loop import make_device_train_step
     from carca_tpu.train.state import create_train_state, make_optimizer
 
     cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
@@ -40,31 +41,28 @@ def main() -> None:
     tx = make_optimizer(tc)
     state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx)
     attrs = jnp.asarray(cat.attrs)
-    builder = BatchBuilder(cat, mc.seq_len, mc.target_len, test=True)
-    users = builder.users("train")
+
+    # production path: HBM-resident catalog, batches assembled on device —
+    # per-step host→device traffic is one [B] user-row vector
+    dd = DeviceDataset(cat, mc.seq_len, mc.target_len, test=True)
+    users = dd.users("train")
     rng = np.random.default_rng(0)
+    row_batches = [jnp.asarray(rows, jnp.int32) for rows in
+                   epoch_batches(users, tc.batch_size, rng, shuffle=True)][:8]
 
-    # pre-build a rotation of host batches so host assembly overlaps are
-    # realistic but not the bottleneck being measured
-    batches = []
-    for rows in epoch_batches(users, tc.batch_size, rng, shuffle=True):
-        b = builder.train_batch(rows, rng)
-        b.pop("n_valid")
-        batches.append(b)
-        if len(batches) >= 8:
-            break
+    step = make_device_train_step(mc, tx)
 
-    step = make_train_step(mc, tx)
+    from carca_tpu.utils.timing import sync
 
     for i in range(3):  # warmup + compile
-        state, loss = step(state, attrs, batches[i % len(batches)])
-    jax.block_until_ready(state.params)
+        state, loss = step(state, attrs, dd.arrays, row_batches[i % 8])
+    sync(loss)
 
-    n_steps = 50
+    n_steps = 100
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, loss = step(state, attrs, batches[i % len(batches)])
-    jax.block_until_ready(state.params)
+        state, loss = step(state, attrs, dd.arrays, row_batches[i % 8])
+    sync(loss)  # value fetch of the final loss drains the in-order queue
     dt = time.perf_counter() - t0
 
     examples_per_sec = n_steps * tc.batch_size / dt

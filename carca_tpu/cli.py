@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_items", type=int, default=1000)
     p.add_argument("--resume", type=parse_bool, default=True)
     p.add_argument("--use_native", type=parse_bool, default=True)
+    p.add_argument("--device_pipeline", type=parse_bool, default=False,
+                   help="HBM-resident catalog + on-device batch assembly")
     return p
 
 
@@ -98,7 +100,8 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
     dc = DataConfig(
         data_dir=args.data_dir, profile_file=args.profile_file,
         attr_file=args.attr_file, ctx_file=args.ctx_file,
-        use_native=args.use_native, synthetic=args.synthetic,
+        use_native=args.use_native, device_pipeline=args.device_pipeline,
+        synthetic=args.synthetic,
         synthetic_users=args.synthetic_users,
         synthetic_items=args.synthetic_items,
     )

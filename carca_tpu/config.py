@@ -88,6 +88,10 @@ class DataConfig:
     ctx_file: str = ""
     eval_subsample: int = 10_000  # val/test user cap (scripts/training.py:154-157)
     use_native: bool = True  # C++ batch assembler when built; numpy fallback
+    # device-resident catalog + on-device batch assembly: per-step H2D is a
+    # [B] user-row vector instead of ~1 MB of tensors. Negative rejection
+    # then uses the visible window (see device_sampling note below).
+    device_pipeline: bool = False
     # on-device negative sampling (rejects vs the visible window, not the full
     # profile — a documented approximation used for the at-scale configs)
     device_sampling: bool = False

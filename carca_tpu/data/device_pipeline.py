@@ -1,0 +1,123 @@
+"""Device-resident dataset: batch assembly as index math on the chip.
+
+The reference's input pipeline ships dense per-example tensors from host
+workers every step (``src/data.py:90-192`` + DataLoader). Host→device
+bandwidth is precious (and through this dev box's relay, ~30 MB/s — a
+0.9 MB batch costs more than the whole training step). Here the packed CSR
+catalog (items, contexts, offsets, leave-one-out window bounds) lives in
+HBM once, and batches are *assembled inside the jitted step* from a [B]
+vector of user rows — the only per-step host→device transfer.
+
+Semantics match ``BatchBuilder`` (same window formulas, right-alignment,
+negative-context inheritance, labels). Negative sampling uses the on-device
+sampler, which rejects against the **visible window + targets** rather than
+the user's full history — the documented at-scale approximation
+(``DataConfig.device_sampling``); use the host pipeline for strict
+reference-protocol parity runs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carca_tpu.data.loaders import Catalog
+from carca_tpu.data.windowing import valid_users, window_bounds
+from carca_tpu.parallel.sampling import device_sample_negatives
+
+
+class DeviceDataset:
+    """HBM-resident catalog + per-split window bounds."""
+
+    def __init__(self, catalog: Catalog, seq_len: int, target_len: int,
+                 test: bool = True):
+        self.L = int(seq_len)
+        self.T = int(target_len)
+        self.n_items = catalog.n_items
+        self.n_ctx = catalog.n_ctx
+        lengths = np.diff(catalog.offsets)
+        self._users = {
+            m: valid_users(lengths, self.L, m, test)
+            for m in ("train", "val", "test")
+        }
+        bounds = {m: window_bounds(lengths, self.L, m, test)
+                  for m in ("train", "val", "test")}
+        self.arrays: Dict[str, jnp.ndarray] = {
+            "items": jnp.asarray(catalog.items, jnp.int32),
+            "ctx": jnp.asarray(catalog.ctx_vals, jnp.float32),
+            "offsets": jnp.asarray(catalog.offsets[:-1], jnp.int32),
+        }
+        for m, (s, e) in bounds.items():
+            self.arrays[f"start_{m}"] = jnp.asarray(s, jnp.int32)
+            self.arrays[f"end_{m}"] = jnp.asarray(e, jnp.int32)
+
+    def users(self, mode: str) -> np.ndarray:
+        return self._users[mode]
+
+
+def _profile_slots(arrays, mode: str, user_rows: jnp.ndarray, L: int):
+    """Right-aligned window event indices (BatchBuilder._profile_slots)."""
+    rows = jnp.maximum(user_rows, 0)
+    s = arrays[f"start_{mode}"][rows]
+    e = arrays[f"end_{mode}"][rows]
+    off = arrays["offsets"][rows]
+    alive = (user_rows >= 0) & (e > s)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pi = e[:, None] - L - 1 + j
+    valid = (pi >= s[:, None]) & alive[:, None]
+    p_evt = jnp.where(valid, off[:, None] + pi, 0)
+    return p_evt, valid, alive, e, off
+
+
+def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
+                   rng: jax.Array) -> Dict[str, jnp.ndarray]:
+    """[B] user rows → train batch, entirely on device."""
+    items, ctx = arrays["items"], arrays["ctx"]
+    p_evt, valid, alive, _, _ = _profile_slots(arrays, "train", user_rows, L)
+
+    p_x = jnp.where(valid, items[p_evt], 0)
+    p_c = ctx[p_evt] * valid[..., None]
+    o_evt = jnp.where(valid, p_evt + 1, 0)
+    o_pos = jnp.where(valid, items[o_evt], 0)
+    o_pos_c = ctx[o_evt] * valid[..., None]
+
+    # reject against everything visible (window + targets); fresh per call
+    visible = jnp.concatenate([p_x, o_pos], axis=1)
+    negs = device_sample_negatives(rng, visible, n_items, L)
+    o_neg = jnp.where(valid, negs, 0)
+
+    o_x = jnp.concatenate([o_pos, o_neg], axis=1)
+    o_c = jnp.concatenate([o_pos_c, o_pos_c], axis=1)  # src/data.py:130
+    y = jnp.concatenate([valid.astype(jnp.float32),
+                         jnp.zeros_like(valid, jnp.float32)], axis=1)
+    return {"p_x": p_x, "p_c": p_c, "o_x": o_x, "o_c": o_c, "y_true": y,
+            "n_valid": jnp.sum(alive.astype(jnp.int32))}
+
+
+def assemble_eval(arrays, L: int, T: int, n_items: int, mode: str,
+                  user_rows: jnp.ndarray, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+    """[B] user rows → eval batch (1 held-out positive + T negatives)."""
+    items, ctx = arrays["items"], arrays["ctx"]
+    p_evt, valid, alive, e, off = _profile_slots(arrays, mode, user_rows, L)
+
+    p_x = jnp.where(valid, items[p_evt], 0)
+    p_c = ctx[p_evt] * valid[..., None]
+
+    one_out = jnp.where(alive, off + e - 1, 0)
+    pos = jnp.where(alive, items[one_out], 0)
+    pos_c = ctx[one_out] * alive[:, None]
+
+    visible = jnp.concatenate([p_x, pos[:, None]], axis=1)
+    negs = device_sample_negatives(rng, visible, n_items, T)
+    negs = jnp.where(alive[:, None], negs, 0)
+
+    o_x = jnp.concatenate([pos[:, None], negs], axis=1)
+    o_c = jnp.broadcast_to(pos_c[:, None, :], (pos.shape[0], T + 1, ctx.shape[1]))
+    o_c = o_c * (o_x > 0)[..., None]
+    y = jnp.zeros((pos.shape[0], T + 1), jnp.float32)
+    y = y.at[:, 0].set(alive.astype(jnp.float32))
+    return {"p_x": p_x, "p_c": p_c, "o_x": o_x, "o_c": o_c.astype(jnp.float32),
+            "y_true": y, "n_valid": jnp.sum(alive.astype(jnp.int32))}

@@ -1,0 +1,161 @@
+"""Fused catalog-scoring + running top-k Pallas kernel.
+
+The XLA retrieval path materializes the ``[B, n_items]`` score matrix in
+HBM (write + re-read for top_k ≈ 2 GB per 256-query batch at 1M items) —
+that traffic, not the matmul, bounds throughput. This kernel streams the
+catalog through VMEM in chunks: per grid step it computes one ``[B, C]``
+score tile on the MXU, extracts the tile's top-K by iterative
+max-and-suppress on the VPU, and merges into a running ``[B, K]``
+best-list kept in the output refs. HBM traffic drops to one read of the
+catalog embeddings per query batch.
+
+Top-K inside a kernel: Mosaic has no sort/top_k primitive, so K is
+extracted by K rounds of (row-max → first-argmax via iota-min → suppress
+to −inf). K is small (10–64: ``k`` plus the exclusion-list slack the
+caller filters afterward), so the VPU cost is ~K·[B,C] ops per tile —
+small next to the score matmul for C ≥ 1024.
+
+Used by ``carca_tpu.parallel.retrieval.full_catalog_topk`` on the
+single-device path and per-shard under ``shard_map`` on the row-sharded
+path (each shard streams only its rows; the cross-shard merge stays the
+O(shards·k) all-gather).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+_BIG_COL = 2**30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _extract_topk(s: jnp.ndarray, cols: jnp.ndarray, ids: jnp.ndarray, k: int):
+    """K rounds of max-and-suppress on [B, C] → ([B, K] vals, [B, K] ids).
+
+    ``cols`` is a per-row position index (ties resolve to the lowest —
+    matching jax.lax.top_k's stable first-occurrence order); ``ids`` are the
+    payload identifiers carried alongside (selected by masked sum, since
+    Mosaic has no general gather)."""
+    vals = []
+    out_ids = []
+    for _ in range(k):
+        m = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
+        eq = s == m
+        idx = jnp.min(jnp.where(eq, cols, _BIG_COL), axis=1, keepdims=True)
+        sel = cols == idx
+        vals.append(m)
+        out_ids.append(jnp.sum(jnp.where(sel, ids, 0), axis=1, keepdims=True))
+        s = jnp.where(sel, NEG_INF, s)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(out_ids, axis=1)
+
+
+def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref):
+    # lim_ref (SMEM int32[2]): [n_valid_local, mask_row0] — runtime scalars
+    # so a shard_map shard can pass its traced offset window.
+    j = pl.program_id(0)
+    b = q_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        ov_ref[:] = jnp.full_like(ov_ref, NEG_INF)
+        oi_ref[:] = jnp.zeros_like(oi_ref)
+
+    q = q_ref[:]  # [B, d]
+    e = e_ref[:]  # [C, d]
+    s = jax.lax.dot_general(
+        q, e, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, C]
+    col0 = j * chunk
+    gids = col0 + jax.lax.broadcasted_iota(jnp.int32, (b, s.shape[1]), 1)
+    # padded catalog rows (and, when this slice starts at the global pad
+    # row, local id 0) → −inf
+    bad = (gids >= lim_ref[0]) | ((gids == 0) & (lim_ref[1] == 1))
+    s = jnp.where(bad, NEG_INF, s)
+
+    # NB: a data-dependent @pl.when gate around the merge ("skip chunks that
+    # can't improve the running top-k") measured ~100× SLOWER on Mosaic —
+    # the conditional region defeats the grid's DMA/compute pipelining.
+    # Unconditional extraction is O(k·C) VPU work per chunk but pipelines.
+    lv, li = _extract_topk(s, gids, gids, k)  # [B, K] chunk winners
+    cv = jnp.concatenate([ov_ref[:], lv], axis=1)  # [B, 2K]
+    ci = jnp.concatenate([oi_ref[:], li], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, cv.shape, 1)
+    mv, mi = _extract_topk(cv, cols, ci, k)
+    ov_ref[:] = mv
+    oi_ref[:] = mi
+
+
+def catalog_topk(
+    q: jnp.ndarray,
+    catalog_emb: jnp.ndarray,
+    k: int,
+    *,
+    n_items: Optional[int] = None,
+    id_offset=0,
+    chunk: int = 4096,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(values [B,k], global item ids [B,k]) = top-k of q · catalog_embᵀ.
+
+    ``catalog_emb`` [R, d] are rows ``id_offset .. id_offset+R``; rows whose
+    global id is 0 (pad) or ≥ ``n_items`` are excluded. ``id_offset`` may be
+    a traced scalar (shard_map axis offset). Scores follow the dot decoder's
+    eval geometry (``src/carca.py:362``); apply sigmoid outside if
+    calibrated probabilities are needed (monotonic → same ranks).
+    """
+    b, d = q.shape
+    r = catalog_emb.shape[0]
+    n_items = n_items if n_items is not None else id_offset + r
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    c = min(chunk, _round_up(r, 128))
+    rp = _round_up(r, c)
+    pad = rp - r
+    if pad:
+        catalog_emb = jnp.pad(catalog_emb, ((0, pad), (0, 0)))
+
+    # the kernel works in local row space (0..R); the valid-id window and
+    # the pad-row mask are shifted by id_offset (runtime SMEM scalars, so a
+    # traced shard offset works)
+    id_offset = jnp.asarray(id_offset, jnp.int32)
+    lim = jnp.stack([jnp.asarray(n_items, jnp.int32) - id_offset,
+                     (id_offset == 0).astype(jnp.int32)])
+    kern = functools.partial(_kernel, k, c)
+    vals, cols = pl.pallas_call(
+        kern,
+        grid=(rp // c,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lim (2,)
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * rp * d,
+            bytes_accessed=rp * d * 4 + b * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lim, q, catalog_emb)
+    # cols are local (0-based over this slice's rows); shift to global ids,
+    # mapping fully-masked slots (vals == −inf) to the pad id 0
+    return vals, jnp.where(vals > NEG_INF, cols + id_offset, 0)

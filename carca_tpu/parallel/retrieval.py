@@ -107,6 +107,7 @@ def full_catalog_topk(
     ctx: Optional[jnp.ndarray] = None,
     exclude: Optional[jnp.ndarray] = None,
     catalog_emb: Optional[jnp.ndarray] = None,
+    use_kernel: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k items over the whole catalog: (scores [B,k], item ids [B,k]).
 
@@ -119,16 +120,34 @@ def full_catalog_topk(
     1/N of the catalog). With a ``mesh`` carrying a ``model`` axis of
     size > 1, the item/attr tables must be row-sharded
     (``pad_table_rows``); queries ride the ``data`` axis; ICI traffic is
-    O(shards · k) per query.
+    O(shards · k) per query. ``use_kernel`` routes the score+top-k through
+    the fused Pallas streaming kernel (``ops/retrieval_topk.py``) — the
+    [B, n_items] score matrix never touches HBM; exclusions are handled by
+    over-retrieving k+E winners and filtering.
     """
     q = queries(params, cfg, profile, attrs_table)
+    had_exclude = exclude is not None
     if exclude is None:
         exclude = jnp.zeros((q.shape[0], 1), jnp.int32)
+    kk = k + exclude.shape[1] if (use_kernel and had_exclude) else k
+
+    def drop_excluded(v, ids):
+        """Mask retrieved ids that appear in `exclude`, re-top-k to k."""
+        if not had_exclude:
+            return v, ids
+        hit = jnp.any(ids[:, :, None] == exclude[:, None, :], axis=-1)
+        v = jnp.where(hit, NEG_INF, v)
+        v, sel = jax.lax.top_k(v, k)
+        return v, jnp.take_along_axis(ids, sel, axis=1)
 
     if mesh is None or mesh.shape.get("model", 1) == 1:
         ids = jnp.arange(attrs_table.shape[0], dtype=jnp.int32)
         e = catalog_emb if catalog_emb is not None else embed_catalog(
             params, cfg, attrs_table, ctx, global_ids=ids)
+        if use_kernel:
+            from carca_tpu.ops.retrieval_topk import catalog_topk
+            v, rid = catalog_topk(q, e, kk, n_items=cfg.n_items)
+            return drop_excluded(v, rid)
         s = _masked_scores(q, e, jnp.where(ids < cfg.n_items, ids, 0), exclude)
         return jax.lax.top_k(s, k)
 
@@ -142,19 +161,24 @@ def full_catalog_topk(
         e = embed_catalog(
             params, cfg, attrs_shard, ctx,
             table_rows=items_shard if has_items else None, global_ids=gids)
-        mask_ids = jnp.where(gids < cfg.n_items, gids, 0)  # pad rows → 0
-        s = _masked_scores(q, e, mask_ids, exclude)
-        v, i = jax.lax.top_k(s, k)  # local top-k per data-shard row
-        cand_ids = jnp.take(gids, i)
-        av = jax.lax.all_gather(v, "model")  # [shards, b_local, k]
+        if use_kernel:
+            from carca_tpu.ops.retrieval_topk import catalog_topk
+            v, cand_ids = catalog_topk(q, e, kk, n_items=cfg.n_items,
+                                       id_offset=lo)
+        else:
+            mask_ids = jnp.where(gids < cfg.n_items, gids, 0)  # pad rows → 0
+            s = _masked_scores(q, e, mask_ids, exclude)
+            v, i = jax.lax.top_k(s, kk)
+            cand_ids = jnp.take(gids, i)
+        av = jax.lax.all_gather(v, "model")  # [shards, b_local, kk]
         ai = jax.lax.all_gather(cand_ids, "model")
         b = q.shape[0]
         av = jnp.transpose(av, (1, 0, 2)).reshape(b, -1)
         ai = jnp.transpose(ai, (1, 0, 2)).reshape(b, -1)
-        fv, fi = jax.lax.top_k(av, k)
+        fv, fi = jax.lax.top_k(av, kk)
         return fv, jnp.take_along_axis(ai, fi, axis=1)
 
-    return jax.shard_map(
+    fv, fi = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("model", None), P("model", None),
@@ -164,6 +188,9 @@ def full_catalog_topk(
         # but the varying-axes analysis can't prove it through top_k
         check_vma=False,
     )(attrs_table, items_table, q, exclude)
+    if use_kernel:
+        return drop_excluded(fv, fi)
+    return fv, fi
 
 
 def retrieval_hr_ndcg(

@@ -109,6 +109,83 @@ def make_eval_step(mc, top_k: int) -> Callable:
     return eval_step
 
 
+def make_device_train_step(mc, tx) -> Callable:
+    """Train step with ON-DEVICE batch assembly: (state, attrs_table,
+    catalog_arrays, user_rows [B]) → (state, loss). The only per-step
+    host→device transfer is the user-row vector (~1 KB) — essential when
+    host→device bandwidth is scarce (see data/device_pipeline.py)."""
+    from carca_tpu.data.device_pipeline import assemble_train
+    L = mc.seq_len
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, attrs_table, arrays, user_rows):
+        rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
+        batch = assemble_train(arrays, L, mc.n_items, user_rows, neg_rng)
+
+        def loss_fn(params):
+            o_x, o_c = batch["o_x"], batch["o_c"]
+            targets = [
+                (o_x[:, :L], None, o_c[:, :L]),
+                (o_x[:, L:], None, o_c[:, L:]),
+            ]
+            y_pred = carca_apply(
+                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
+                train=True, rng=step_rng, attrs_table=attrs_table,
+            )
+            return masked_bce(y_pred, batch["y_true"], get_mask(batch["o_x"]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, rng=rng,
+                          step=state.step + 1), loss
+
+    return train_step
+
+
+def make_device_eval_step(mc, top_k: int, mode: str) -> Callable:
+    """(params, attrs_table, catalog_arrays, user_rows, rng) →
+    (hr_sum, ndcg_sum, loss, n_valid), assembled and scored on device."""
+    from carca_tpu.data.device_pipeline import assemble_eval
+
+    @partial(jax.jit, static_argnames=())
+    def eval_step(params, attrs_table, arrays, user_rows, rng):
+        batch = assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
+                              mode, user_rows, rng)
+        y_pred = carca_apply(
+            params, mc, (batch["p_x"], None, batch["p_c"]),
+            [(batch["o_x"], None, batch["o_c"])],
+            train=False, attrs_table=attrs_table,
+        )
+        mask = get_mask(batch["o_x"])
+        loss = masked_bce(y_pred, batch["y_true"], mask)
+        row_mask = get_mask(batch["o_x"][:, 0])
+        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+        return hr, ndcg, loss, batch["n_valid"]
+
+    return eval_step
+
+
+def evaluate_device(eval_step, params, attrs_table, arrays, users,
+                    batch_size: int, key: jax.Array) -> Tuple[float, float, float]:
+    """Device-pipeline evaluator: same protocol as ``evaluate``."""
+    results = []
+    for i, rows in enumerate(epoch_batches(users, batch_size, shuffle=False)):
+        results.append(eval_step(
+            params, attrs_table, arrays, jnp.asarray(rows, jnp.int32),
+            jax.random.fold_in(key, i)))
+    hr = ndcg = loss_sum = 0.0
+    total = 0
+    for h, n, l, nv in results:
+        hr += float(h)
+        ndcg += float(n)
+        loss_sum += float(l)
+        total += int(nv)
+    if total == 0:
+        return 0.0, 0.0, 0.0
+    return hr / total, ndcg / total, loss_sum / max(len(results), 1)
+
+
 def make_knn_eval_step(top_k: int) -> Callable:
     """Eval step for the non-learned KNN content baseline (``src/knn.py``),
     pluggable into ``evaluate``. HR/NDCG follow the shared harness; the BCE
@@ -205,7 +282,12 @@ def fit(
     os.makedirs(tc.out_dir, exist_ok=True)
     cfg.dump_args_json(os.path.join(tc.out_dir, "args.json"))
 
-    if builder is None:
+    dd = None
+    if cfg.data.device_pipeline:
+        from carca_tpu.data.device_pipeline import DeviceDataset
+        dd = DeviceDataset(catalog, mc.seq_len, mc.target_len, test=tc.test)
+        builder = dd  # users() source
+    elif builder is None:
         native = None
         if cfg.data.use_native:
             from carca_tpu.native import get_assembler
@@ -238,8 +320,13 @@ def fit(
         start_epoch = 1
 
     attrs_table = jnp.asarray(catalog.attrs)
-    train_step = make_train_step(mc, tx)
-    eval_step = make_eval_step(mc, tc.top_k)
+    if dd is not None:
+        train_step = make_device_train_step(mc, tx)
+        eval_steps = {m: make_device_eval_step(mc, tc.top_k, m)
+                      for m in ("val", "test")}
+    else:
+        train_step = make_train_step(mc, tx)
+        eval_step = make_eval_step(mc, tc.top_k)
 
     start = datetime.now()
     logpath = os.path.join(
@@ -273,20 +360,31 @@ def fit(
         profiling = tc.profile and epoch == start_epoch + 1  # skip compile epoch
         if profiling:
             jax.profiler.start_trace(os.path.join(tc.out_dir, "profile"))
-        for n_valid, batch in prefetch(produce()):
-            if profiling:
-                with jax.profiler.StepTraceAnnotation("train", step_num=n_batches):
+        if dd is not None:
+            for rows in epoch_batches(train_users, tc.batch_size, ep_rng,
+                                      shuffle=True):
+                state, loss = train_step(state, attrs_table, dd.arrays,
+                                         jnp.asarray(rows, jnp.int32))
+                losses.append(loss)
+                n_batches += 1
+                n_examples += int((rows >= 0).sum())
+        else:
+            for n_valid, batch in prefetch(produce()):
+                if profiling:
+                    with jax.profiler.StepTraceAnnotation("train",
+                                                          step_num=n_batches):
+                        state, loss = train_step(state, attrs_table, batch)
+                else:
                     state, loss = train_step(state, attrs_table, batch)
-            else:
-                state, loss = train_step(state, attrs_table, batch)
-            losses.append(loss)
-            n_batches += 1
-            n_examples += n_valid
-        jax.block_until_ready(state.params)
+                losses.append(loss)
+                n_batches += 1
+                n_examples += n_valid
+        # fetching the loss sum is the real device sync (block_until_ready
+        # does not drain the queue on the axon platform — utils/timing.py)
+        sum_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         if profiling:
             jax.profiler.stop_trace()
         dt = time.perf_counter() - t0
-        sum_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
 
         now = datetime.now().strftime("%H:%M:%S")
         train_loss = sum_loss / max(n_batches, 1)
@@ -296,9 +394,15 @@ def fit(
             logfile.write(f"{now};{epoch};train;{train_loss};;\n")
 
         t1 = time.perf_counter()
-        hr, ndcg, val_loss = evaluate(
-            eval_step, state.params, attrs_table, builder, val_users,
-            tc.batch_size, ep_rng, "val")
+        if dd is not None:
+            hr, ndcg, val_loss = evaluate_device(
+                eval_steps["val"], state.params, attrs_table, dd.arrays,
+                val_users, tc.batch_size,
+                jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
+        else:
+            hr, ndcg, val_loss = evaluate(
+                eval_step, state.params, attrs_table, builder, val_users,
+                tc.batch_size, ep_rng, "val")
         dt_eval = time.perf_counter() - t1
 
         improved = ndcg > best
@@ -339,9 +443,15 @@ def fit(
         if restored is not None:
             state = restored[1]
     if len(test_users) and tc.test:
-        hr, ndcg, test_loss = evaluate(
-            eval_step, state.params, attrs_table, builder, test_users,
-            tc.batch_size, np.random.default_rng([tc.seed, 999_983]), "test")
+        if dd is not None:
+            hr, ndcg, test_loss = evaluate_device(
+                eval_steps["test"], state.params, attrs_table, dd.arrays,
+                test_users, tc.batch_size,
+                jax.random.fold_in(jax.random.PRNGKey(tc.seed), 999_983))
+        else:
+            hr, ndcg, test_loss = evaluate(
+                eval_step, state.params, attrs_table, builder, test_users,
+                tc.batch_size, np.random.default_rng([tc.seed, 999_983]), "test")
         now = datetime.now().strftime("%H:%M:%S")
         emit(f"{now} - Epoch {epoch:03d}: Test Loss = {test_loss:.4f} "
              f"HR = {hr:.4f}, NDCG = {ndcg:.4f}")

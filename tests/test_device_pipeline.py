@@ -1,0 +1,87 @@
+"""On-device batch assembly vs the host BatchBuilder: deterministic fields
+must match exactly; negatives obey the sampler contract (domain + rejection
+against everything visible on device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carca_tpu.data.dataset import BatchBuilder
+from carca_tpu.data.device_pipeline import (DeviceDataset, assemble_eval,
+                                            assemble_train)
+from carca_tpu.data.synthetic import synthetic_catalog
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cat = synthetic_catalog(n_users=200, n_real_items=300, seed=5)
+    L, T = 10, 15
+    host = BatchBuilder(cat, L, T, test=True)
+    dev = DeviceDataset(cat, L, T, test=True)
+    return cat, L, T, host, dev
+
+
+def test_users_match(setup):
+    _, _, _, host, dev = setup
+    for mode in ("train", "val", "test"):
+        np.testing.assert_array_equal(host.users(mode), dev.users(mode))
+
+
+def test_train_assembly_matches_host(setup):
+    cat, L, T, host, dev = setup
+    rows = np.concatenate([host.users("train")[:30], [-1, -1]])
+    ref = host.train_batch(rows, np.random.default_rng(0))
+    got = assemble_train(dev.arrays, L, cat.n_items,
+                         jnp.asarray(rows, jnp.int32), jax.random.PRNGKey(0))
+    for k in ("p_x", "p_c", "y_true"):
+        np.testing.assert_array_equal(np.asarray(got[k]), ref[k], err_msg=k)
+    np.testing.assert_array_equal(np.asarray(got["o_x"][:, :L]),
+                                  ref["o_x"][:, :L])
+    np.testing.assert_array_equal(np.asarray(got["o_c"]), ref["o_c"])
+    assert int(got["n_valid"]) == int(ref["n_valid"])
+    # negatives: placed only in valid slots, in [1, n_items-1], not visible
+    negs = np.asarray(got["o_x"][:, L:])
+    p_x = np.asarray(got["p_x"])
+    pos = np.asarray(got["o_x"][:, :L])
+    assert ((negs == 0) == (p_x == 0)).all()
+    live = negs[p_x > 0]
+    assert live.min() >= 1 and live.max() <= cat.n_items - 1
+    for b in range(len(rows)):
+        row_negs = set(negs[b][negs[b] > 0].tolist())
+        assert not row_negs & set(p_x[b][p_x[b] > 0].tolist())
+        assert not row_negs & set(pos[b][pos[b] > 0].tolist())
+
+
+@pytest.mark.parametrize("mode", ["val", "test"])
+def test_eval_assembly_matches_host(setup, mode):
+    cat, L, T, host, dev = setup
+    rows = host.users(mode)[:24]
+    ref = host.eval_batch(rows, np.random.default_rng(1), mode)
+    got = assemble_eval(dev.arrays, L, T, cat.n_items, mode,
+                        jnp.asarray(rows, jnp.int32), jax.random.PRNGKey(1))
+    for k in ("p_x", "p_c", "y_true"):
+        np.testing.assert_array_equal(np.asarray(got[k]), ref[k], err_msg=k)
+    np.testing.assert_array_equal(np.asarray(got["o_x"][:, 0]),
+                                  ref["o_x"][:, 0])  # held-out positive
+    np.testing.assert_array_equal(np.asarray(got["o_c"]), ref["o_c"])
+    assert int(got["n_valid"]) == int(ref["n_valid"])
+
+
+def test_fit_device_pipeline_end_to_end(tmp_path):
+    """Two epochs through fit() with the device pipeline on the CPU mesh."""
+    from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=150, n_real_items=100, seed=2)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=6, target_len=8, n_blocks=1,
+                     n_heads=2, dropout=0.1, decoder="ca")
+    cfg = Config(model=mc,
+                 data=DataConfig(synthetic=True, device_pipeline=True),
+                 train=TrainConfig(batch_size=32, epochs=2, early_stop=5,
+                                   out_dir=str(tmp_path), seed=0))
+    state, metrics = fit(cfg, cat, log=False)
+    assert metrics["epochs_run"] == 2
+    assert np.isfinite(metrics["val_loss"])
+    assert 0.0 <= metrics["val_hr"] <= 1.0

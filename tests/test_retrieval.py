@@ -78,3 +78,54 @@ def test_retrieval_hr_ndcg_formula():
     assert float(hr) == 2.0
     want = 1.0 / np.log2(0 + 2) + 1.0 / np.log2(2 + 2)
     np.testing.assert_allclose(float(ndcg), want, rtol=1e-6)
+
+
+def test_kernel_topk_matches_lax_topk():
+    """Streaming kernel ≡ jax.lax.top_k over several shapes/offsets."""
+    from carca_tpu.ops.retrieval_topk import catalog_topk
+    rng = np.random.default_rng(3)
+    for r, b, d, k, off in [(500, 8, 16, 10, 0), (1000, 4, 32, 7, 0),
+                            (300, 8, 16, 5, 300)]:
+        q = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        e = jnp.asarray(rng.normal(size=(r, d)), jnp.float32)
+        v, ids = catalog_topk(q, e, k, n_items=off + r, id_offset=off,
+                              chunk=256)
+        s = np.array(jnp.einsum("bd,rd->br", q, e))
+        if off == 0:
+            s[:, 0] = -np.inf  # pad id
+        for bi in range(b):
+            order = np.argsort(-s[bi], kind="stable")[:k]
+            np.testing.assert_allclose(np.asarray(v[bi]), s[bi][order],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(ids[bi]), order + off)
+
+
+def test_full_catalog_topk_kernel_equals_xla(setup):
+    mc, params, profile, attrs = setup
+    k = 10
+    exclude = jnp.asarray(
+        np.random.default_rng(4).integers(1, mc.n_items, (8, 5)), jnp.int32)
+    v0, i0 = full_catalog_topk(params, mc, profile, attrs, k,
+                               exclude=exclude, use_kernel=False)
+    v1, i1 = full_catalog_topk(params, mc, profile, attrs, k,
+                               exclude=exclude, use_kernel=True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_sharded_kernel_topk_matches_single_device(setup):
+    mc, params, profile, attrs = setup
+    k = 6
+    v0, i0 = full_catalog_topk(params, mc, profile, attrs, k, use_kernel=True)
+    mesh = make_mesh((2, 4), ("data", "model"))
+    attrs_p = jnp.asarray(pad_table_rows(np.asarray(attrs), mesh))
+    params_p = dict(params, embed=dict(
+        params["embed"],
+        items=jnp.asarray(pad_table_rows(
+            np.asarray(params["embed"]["items"]), mesh))))
+    v1, i1 = full_catalog_topk(params_p, mc, profile, attrs_p, k, mesh=mesh,
+                               use_kernel=True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
