@@ -183,7 +183,8 @@ def preset(name: str, n_items: int = 0, n_attrs: int = 0, n_ctx: int = 0) -> Con
                          decoder="dot", compute_dtype="bfloat16", use_pallas=True)
         return Config(
             model=m,
-            data=DataConfig(synthetic=True, device_sampling=True),
+            data=DataConfig(synthetic=True, device_sampling=True,
+                            device_pipeline=True),
             train=TrainConfig(mesh_shape=(1, 8), mesh_axes=("data", "model"),
                               shard_embeddings=True),
         )

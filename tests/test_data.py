@@ -145,3 +145,22 @@ def test_epoch_batches_shuffle_determinism():
         np.testing.assert_array_equal(x, y)
     c = [b.copy() for b in epoch_batches(users, 16, np.random.default_rng(6))]
     assert any((x != y).any() for x, y in zip(a, c))
+
+
+def test_prefetch_yields_all_and_propagates_errors():
+    from carca_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    out = []
+    try:
+        for x in prefetch(boom()):
+            out.append(x)
+        raised = False
+    except RuntimeError as e:
+        raised = "producer failed" in str(e)
+    assert raised and out == [1]
