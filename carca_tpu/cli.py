@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_native", type=parse_bool, default=True)
     p.add_argument("--device_pipeline", type=parse_bool, default=False,
                    help="HBM-resident catalog + on-device batch assembly")
+    p.add_argument("--eval_retrieval", type=int, default=0,
+                   help="after training, run full-catalog leave-one-out "
+                        "retrieval eval at this top-k (dot/wdot decoders)")
     return p
 
 
@@ -139,9 +142,12 @@ def main(argv: Optional[list] = None) -> None:
 
         metrics = evaluate_knn(cfg, catalog)
     else:
-        from carca_tpu.train.loop import fit
+        from carca_tpu.train.loop import evaluate_retrieval, fit
 
-        _, metrics = fit(cfg, catalog)
+        state, metrics = fit(cfg, catalog)
+        if args.eval_retrieval and cfg.model.decoder != "ca":
+            metrics.update(evaluate_retrieval(
+                cfg, catalog, state.params, k=args.eval_retrieval))
     print("final:", metrics)
 
 

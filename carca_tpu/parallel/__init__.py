@@ -32,3 +32,8 @@ from carca_tpu.parallel.step import (  # noqa: F401
     make_sharded_train_step,
 )
 from carca_tpu.parallel.sampling import device_sample_negatives  # noqa: F401
+from carca_tpu.parallel.retrieval import (  # noqa: F401
+    embed_catalog,
+    full_catalog_topk,
+    retrieval_hr_ndcg,
+)

@@ -43,6 +43,7 @@ def embed_catalog(
     *,
     table_rows: Optional[jnp.ndarray] = None,
     global_ids: Optional[jnp.ndarray] = None,
+    row_chunk: int = 1 << 20,
 ) -> jnp.ndarray:
     """Item-tower embeddings for catalog rows → [R, d].
 
@@ -52,23 +53,42 @@ def embed_catalog(
     id-embedding table with a row-aligned local shard (then lookups use
     local row numbers). Target semantics: no positional encoding
     (``src/carca.py:91-92``).
+
+    Catalogs larger than ``row_chunk`` are embedded in slices with
+    ``lax.map`` — the feature-fusion hidden layer would otherwise
+    materialize ``[R, g]`` (10 GB at 10M rows, g=256) in one shot.
     """
     r = attrs_rows.shape[0]
     if global_ids is None:
         global_ids = jnp.arange(r, dtype=jnp.int32)
     if ctx is None:
         ctx = jnp.zeros((cfg.n_ctx,), jnp.float32)
-    c = jnp.broadcast_to(ctx[None, :], (r, cfg.n_ctx))
-    mask = ((global_ids != 0) & (global_ids < cfg.n_items)).astype(jnp.float32)
 
     p_embed = params["embed"]
     x = jnp.arange(r, dtype=jnp.int32) if table_rows is not None else global_ids
     if table_rows is not None and "items" in p_embed:
         p_embed = dict(p_embed, items=table_rows)
-    e = embeddings.embedding_apply(
-        p_embed, cfg, x[None], attrs_rows[None], c[None], mask[None],
-        target=True)
-    return e[0]  # [R, d]
+
+    def embed_slice(attrs_s, x_s, gid_s):
+        cc = jnp.broadcast_to(ctx[None, :], (attrs_s.shape[0], cfg.n_ctx))
+        mask = ((gid_s != 0) & (gid_s < cfg.n_items)).astype(jnp.float32)
+        return embeddings.embedding_apply(
+            p_embed, cfg, x_s[None], attrs_s[None], cc[None], mask[None],
+            target=True)[0]
+
+    if r <= row_chunk:
+        return embed_slice(attrs_rows, x, global_ids)
+
+    pad = (-r) % row_chunk
+    n = (r + pad) // row_chunk
+
+    def padto(a):
+        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, widths).reshape((n, row_chunk) + a.shape[1:])
+
+    e = jax.lax.map(lambda t: embed_slice(*t),
+                    (padto(attrs_rows), padto(x), padto(global_ids)))
+    return e.reshape(n * row_chunk, -1)[:r]
 
 
 def queries(params, cfg: ModelConfig, profile, attrs_table) -> jnp.ndarray:

@@ -186,6 +186,72 @@ def evaluate_device(eval_step, params, attrs_table, arrays, users,
     return hr / total, ndcg / total, loss_sum / max(len(results), 1)
 
 
+def evaluate_retrieval(
+    cfg: Config,
+    catalog: Catalog,
+    params,
+    mode: str = "test",
+    k: Optional[int] = None,
+    log: bool = True,
+) -> Dict[str, float]:
+    """Leave-one-out evaluation against the FULL catalog (BASELINE
+    configs[4] protocol; no reference counterpart — its eval samples 100
+    negatives, src/data.py:140-192).
+
+    For dot-family decoders: the catalog is embedded once, each user's held
+    -out item is ranked among all items (user's visible window excluded),
+    and HR@k/NDCG@k of its rank are averaged.
+    """
+    from carca_tpu.data.device_pipeline import DeviceDataset, _profile_slots
+    from carca_tpu.parallel.retrieval import (embed_catalog,
+                                              full_catalog_topk,
+                                              retrieval_hr_ndcg)
+
+    mc, tc = cfg.model, cfg.train
+    k = k or tc.top_k
+    if mc.decoder == "ca":
+        raise ValueError(
+            "full-catalog retrieval applies to the dot/wdot decoders; the "
+            "cross-attention decoder is a ranking model (see retrieval.py)")
+    dd = DeviceDataset(catalog, mc.seq_len, mc.target_len, test=tc.test)
+    attrs_table = jnp.asarray(catalog.attrs)
+    emb = jax.jit(lambda p, a: embed_catalog(p, mc, a))(params, attrs_table)
+
+    @jax.jit
+    def batch_metrics(params, attrs_table, emb, user_rows):
+        arrays = dd.arrays
+        p_evt, valid, alive, e, off = _profile_slots(
+            arrays, mode, user_rows, mc.seq_len)
+        p_x = jnp.where(valid, arrays["items"][p_evt], 0)
+        p_c = arrays["ctx"][p_evt] * valid[..., None]
+        pos = jnp.where(alive, arrays["items"][jnp.where(alive, off + e - 1, 0)], 0)
+        _, ids = full_catalog_topk(
+            params, mc, (p_x, None, p_c), attrs_table, k,
+            exclude=p_x, catalog_emb=emb)
+        ids = jnp.where(alive[:, None], ids, -1)  # dead rows never match
+        hr, ndcg = retrieval_hr_ndcg(ids, pos, k)
+        return hr, ndcg, jnp.sum(alive.astype(jnp.int32))
+
+    users = dd.users(mode)
+    host_root = np.random.default_rng(tc.seed)
+    if len(users) > cfg.data.eval_subsample:
+        users = host_root.choice(users, cfg.data.eval_subsample, replace=False)
+    results = [
+        batch_metrics(params, attrs_table, emb, jnp.asarray(rows, jnp.int32))
+        for rows in epoch_batches(users, tc.batch_size, shuffle=False)
+    ]
+    hr = sum(float(h) for h, _, _ in results)
+    ndcg = sum(float(n) for _, n, _ in results)
+    total = sum(int(t) for _, _, t in results)
+    out = {f"retrieval_{mode}_hr": hr / max(total, 1),
+           f"retrieval_{mode}_ndcg": ndcg / max(total, 1)}
+    if tc.verbose and log:
+        print(f"Retrieval@{k} ({mode}, full catalog): "
+              f"HR = {out[f'retrieval_{mode}_hr']:.4f}, "
+              f"NDCG = {out[f'retrieval_{mode}_ndcg']:.4f}")
+    return out
+
+
 def make_knn_eval_step(top_k: int) -> Callable:
     """Eval step for the non-learned KNN content baseline (``src/knn.py``),
     pluggable into ``evaluate``. HR/NDCG follow the shared harness; the BCE

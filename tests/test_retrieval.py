@@ -129,3 +129,36 @@ def test_sharded_kernel_topk_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_embed_catalog_chunked_matches_unchunked(setup):
+    mc, params, _, attrs = setup
+    e0 = embed_catalog(params, mc, attrs)
+    e1 = embed_catalog(params, mc, attrs, row_chunk=37)  # ragged chunking
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_evaluate_retrieval_end_to_end(tmp_path):
+    from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from carca_tpu.train.loop import evaluate_retrieval, fit
+
+    cat = synthetic_catalog(n_users=150, n_real_items=120, seed=4)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=6, target_len=8, n_blocks=1,
+                     n_heads=2, dropout=0.1, decoder="dot")
+    cfg = Config(model=mc, data=DataConfig(synthetic=True),
+                 train=TrainConfig(batch_size=32, epochs=1, early_stop=3,
+                                   out_dir=str(tmp_path), seed=0))
+    state, _ = fit(cfg, cat, log=False)
+    out = evaluate_retrieval(cfg, cat, state.params, mode="test", k=10,
+                             log=False)
+    assert 0.0 <= out["retrieval_test_hr"] <= 1.0
+    assert 0.0 <= out["retrieval_test_ndcg"] <= 1.0
+
+    import pytest as _pytest
+    cfg_ca = Config(model=ModelConfig(
+        n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+        d=16, g=32, seq_len=6, decoder="ca"))
+    with _pytest.raises(ValueError):
+        evaluate_retrieval(cfg_ca, cat, state.params)
