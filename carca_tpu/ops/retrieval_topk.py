@@ -39,27 +39,40 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _extract_topk(s: jnp.ndarray, cols: jnp.ndarray, ids: jnp.ndarray, k: int):
-    """K rounds of max-and-suppress on [B, C] → ([B, K] vals, [B, K] ids).
+def _extract_topk_inplace(s_ref, ids, k: int):
+    """K rounds of max-and-suppress over the VMEM buffer ``s_ref`` [B, C]
+    → ([B, k] winner values, [B, k] winner ids) as loop-carried arrays.
 
-    ``cols`` is a per-row position index (ties resolve to the lowest —
-    matching jax.lax.top_k's stable first-occurrence order); ``ids`` are the
-    payload identifiers carried alongside (selected by masked sum, since
-    Mosaic has no general gather)."""
-    vals = []
-    out_ids = []
-    for _ in range(k):
+    A ``fori_loop`` with in-place suppression keeps one live [B, C] buffer
+    regardless of K (the unrolled functional version exceeded the 16 MB
+    scoped-VMEM limit at K≳32); winners land in their slot via a one-hot
+    select (Mosaic cannot store at a dynamic lane index). Ties resolve to
+    the lowest id — matching jax.lax.top_k's stable first-occurrence order;
+    ``ids`` are the payload identifiers, selected by masked min/sum (no
+    general gather on Mosaic)."""
+    b = s_ref.shape[0]
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
+    def body(t, carry):
+        wv, wi = carry
+        s = s_ref[:]
         m = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
         eq = s == m
-        idx = jnp.min(jnp.where(eq, cols, _BIG_COL), axis=1, keepdims=True)
-        sel = cols == idx
-        vals.append(m)
-        out_ids.append(jnp.sum(jnp.where(sel, ids, 0), axis=1, keepdims=True))
-        s = jnp.where(sel, NEG_INF, s)
-    return jnp.concatenate(vals, axis=1), jnp.concatenate(out_ids, axis=1)
+        idx = jnp.min(jnp.where(eq, ids, _BIG_COL), axis=1, keepdims=True)
+        sel = ids == idx
+        slot = kcols == t
+        wv = jnp.where(slot, m, wv)
+        wi = jnp.where(slot, idx, wi)
+        s_ref[:] = jnp.where(sel, NEG_INF, s)
+        return wv, wi
+
+    return jax.lax.fori_loop(
+        0, k, body,
+        (jnp.full((b, k), NEG_INF, jnp.float32), jnp.zeros((b, k), jnp.int32)))
 
 
-def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref):
+def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref,
+            s_ref):
     # lim_ref (SMEM int32[2]): [n_valid_local, mask_row0] — runtime scalars
     # so a shard_map shard can pass its traced offset window.
     j = pl.program_id(0)
@@ -71,9 +84,9 @@ def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref):
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
     q = q_ref[:]  # [B, d]
-    e = e_ref[:]  # [C, d]
+    e = e_ref[:]  # [C, d] — may be bf16 (halves the HBM scan); accum fp32
     s = jax.lax.dot_general(
-        q, e, dimension_numbers=(((1,), (1,)), ((), ())),
+        q.astype(e.dtype), e, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, C]
     col0 = j * chunk
@@ -81,17 +94,37 @@ def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref):
     # padded catalog rows (and, when this slice starts at the global pad
     # row, local id 0) → −inf
     bad = (gids >= lim_ref[0]) | ((gids == 0) & (lim_ref[1] == 1))
-    s = jnp.where(bad, NEG_INF, s)
+    s_ref[:] = jnp.where(bad, NEG_INF, s)
 
     # NB: a data-dependent @pl.when gate around the merge ("skip chunks that
     # can't improve the running top-k") measured ~100× SLOWER on Mosaic —
     # the conditional region defeats the grid's DMA/compute pipelining.
     # Unconditional extraction is O(k·C) VPU work per chunk but pipelines.
-    lv, li = _extract_topk(s, gids, gids, k)  # [B, K] chunk winners
-    cv = jnp.concatenate([ov_ref[:], lv], axis=1)  # [B, 2K]
+    lv, li = _extract_topk_inplace(s_ref, gids, k)  # [B, k] chunk winners
+    # merge the 2K candidates (tiny [B, 2k] values, loop-carried): list
+    # position is the tie-break (running list first → stable order), ids
+    # recovered by masked sum (no gather on Mosaic)
+    cv0 = jnp.concatenate([ov_ref[:], lv], axis=1)
     ci = jnp.concatenate([oi_ref[:], li], axis=1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, cv.shape, 1)
-    mv, mi = _extract_topk(cv, cols, ci, k)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * k), 1)
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
+    def merge(t, carry):
+        cv, wv, wi = carry
+        m = jnp.max(cv, axis=1, keepdims=True)
+        eq = cv == m
+        idx = jnp.min(jnp.where(eq, pos, _BIG_COL), axis=1, keepdims=True)
+        sel = pos == idx
+        gid = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)
+        slot = kcols == t
+        wv = jnp.where(slot, m, wv)
+        wi = jnp.where(slot, gid, wi)
+        return jnp.where(sel, NEG_INF, cv), wv, wi
+
+    _, mv, mi = jax.lax.fori_loop(
+        0, k, merge,
+        (cv0, jnp.full((b, k), NEG_INF, jnp.float32),
+         jnp.zeros((b, k), jnp.int32)))
     ov_ref[:] = mv
     oi_ref[:] = mi
 
@@ -113,6 +146,12 @@ def catalog_topk(
     a traced scalar (shard_map axis offset). Scores follow the dot decoder's
     eval geometry (``src/carca.py:362``); apply sigmoid outside if
     calibrated probabilities are needed (monotonic → same ranks).
+
+    A bf16 ``catalog_emb`` halves the HBM scan; queries are then also
+    quantized to bf16 for the MXU (fp32 accumulation) — a kernel-path
+    precision choice the XLA fallback does not mirror, so near-tied ranks
+    may differ between paths at bf16 (exact parity is guaranteed, and
+    tested, at fp32).
     """
     b, d = q.shape
     r = catalog_emb.shape[0]
@@ -149,9 +188,13 @@ def catalog_topk(
             jax.ShapeDtypeStruct((b, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((b, c), jnp.float32),  # score tile (in-place suppress)
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * rp * d,
-            bytes_accessed=rp * d * 4 + b * d * 4,
+            bytes_accessed=(rp * d * catalog_emb.dtype.itemsize
+                            + b * d * q.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,

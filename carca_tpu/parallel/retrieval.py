@@ -44,6 +44,7 @@ def embed_catalog(
     table_rows: Optional[jnp.ndarray] = None,
     global_ids: Optional[jnp.ndarray] = None,
     row_chunk: int = 1 << 20,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Item-tower embeddings for catalog rows → [R, d].
 
@@ -74,21 +75,30 @@ def embed_catalog(
         mask = ((gid_s != 0) & (gid_s < cfg.n_items)).astype(jnp.float32)
         return embeddings.embedding_apply(
             p_embed, cfg, x_s[None], attrs_s[None], cc[None], mask[None],
-            target=True)[0]
+            target=True)[0].astype(out_dtype)
 
     if r <= row_chunk:
         return embed_slice(attrs_rows, x, global_ids)
 
+    # index-based chunking: dynamic_slice per chunk instead of a padded
+    # reshape copy of the whole catalog (that copy alone is GBs at 10M rows)
     pad = (-r) % row_chunk
     n = (r + pad) // row_chunk
+    last = r - row_chunk  # only the final chunk's start is ever clamped
 
-    def padto(a):
-        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-        return jnp.pad(a, widths).reshape((n, row_chunk) + a.shape[1:])
+    def body(i):
+        s = jnp.minimum(i * row_chunk, last)
+        return embed_slice(
+            jax.lax.dynamic_slice_in_dim(attrs_rows, s, row_chunk),
+            jax.lax.dynamic_slice_in_dim(x, s, row_chunk),
+            jax.lax.dynamic_slice_in_dim(global_ids, s, row_chunk))
 
-    e = jax.lax.map(lambda t: embed_slice(*t),
-                    (padto(attrs_rows), padto(x), padto(global_ids)))
-    return e.reshape(n * row_chunk, -1)[:r]
+    e = jax.lax.map(body, jnp.arange(n))  # [n, row_chunk, d]
+    if pad == 0:
+        return e.reshape(n * row_chunk, -1)
+    # the clamped last chunk re-embeds its first `pad` rows; drop them
+    return jnp.concatenate(
+        [e[:-1].reshape(-1, e.shape[-1]), e[-1, pad:]], axis=0)
 
 
 def queries(params, cfg: ModelConfig, profile, attrs_table) -> jnp.ndarray:

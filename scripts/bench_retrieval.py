@@ -57,7 +57,12 @@ def main() -> None:
     # per-query cost but reported separately)
     from carca_tpu.utils.timing import sync
 
-    embed_fn = jax.jit(lambda p, a: embed_catalog(p, mc, a))
+    # bf16 catalog only on the kernel-only path: the XLA leg upcasts to
+    # fp32 anyway, which would make the comparison apples-to-oranges
+    emb_dtype = (jnp.bfloat16 if args.kernel_only and args.items >= 4_000_000
+                 else jnp.float32)
+    embed_fn = jax.jit(lambda p, a: embed_catalog(p, mc, a,
+                                                  out_dtype=emb_dtype))
     t0 = time.perf_counter()
     e = embed_fn(params, attrs)
     sync(e)
@@ -89,6 +94,7 @@ def main() -> None:
         "queries_per_sec_xla": round(results["xla"], 1),
         "catalog_items": args.items,
         "catalog_embed_seconds": round(t_embed, 3),
+        "emb_dtype": str(jnp.dtype(emb_dtype)),
         "top_k": args.k,
     }
     print(json.dumps(result))

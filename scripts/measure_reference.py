@@ -35,9 +35,16 @@ def main() -> None:
     ap.add_argument("--users", type=int, default=4096)
     ap.add_argument("--items", type=int, default=2000)
     ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--decoder", type=str, default="ca")
+    ap.add_argument("--embedding", type=str, default="all")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BASELINE_MEASURED.json"))
     args = ap.parse_args()
+    default_out = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if args.out == default_out and (args.decoder, args.embedding) != ("ca", "all"):
+        raise SystemExit(
+            "BASELINE_MEASURED.json is the flagship (ca/all) baseline that "
+            "bench.py compares against — pass --out for other configs")
 
     sys.path.insert(0, REPO)
     from carca_tpu.data.synthetic import synthetic_catalog, write_reference_format
@@ -63,8 +70,8 @@ def main() -> None:
         "--g_dim", "256",
         "--seq_len", "50",
         "--batch_size", str(args.batch_size),
-        "--decoder", "ca",
-        "--embedding", "all",
+        "--decoder", args.decoder,
+        "--embedding", args.embedding,
         "--encoding", "identity",
         "--n_workers", "2",
     ]
@@ -117,7 +124,8 @@ def main() -> None:
         "source": "r-papso/carca-replication scripts/training.py (torch CPU)",
         "config": {
             "users": args.users, "items": args.items, "d": 64, "n_blocks": 2,
-            "seq_len": 50, "batch_size": args.batch_size, "decoder": "ca",
+            "seq_len": 50, "batch_size": args.batch_size,
+            "decoder": args.decoder, "embedding": args.embedding,
             "epochs": args.epochs,
         },
         "train_examples_per_sec": round(examples_per_sec, 2),
