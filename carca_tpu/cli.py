@@ -26,7 +26,9 @@ from carca_tpu.config import (Config, DataConfig, ModelConfig, TrainConfig,
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description=__doc__)
+    # allow_abbrev=False: prefix matching silently routed e.g. `--profile`
+    # into `--profile_file`
+    p = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
     p.add_argument("--data_dir", type=str, default="")
     p.add_argument("--profile_file", type=str, default="")
     p.add_argument("--attr_file", type=str, default="")
@@ -39,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_decay_steps", type=int, default=0)
     p.add_argument("--lr_decay_rate", type=float, default=0.1)
     p.add_argument("--debug_nans", type=parse_bool, default=False)
+    p.add_argument("--profile", type=parse_bool, default=False,
+                   help="capture a jax.profiler trace of the second epoch "
+                        "into OUT_DIR/profile")
     p.add_argument("--seq_len", type=int, default=50)
     p.add_argument("--n_blocks", type=int, default=3)
     p.add_argument("--n_heads", type=int, default=2)
@@ -115,7 +120,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         batch_size=args.batch_size, epochs=args.epochs,
         early_stop=args.early_stop, seed=args.seed, test=args.test,
         out_dir=args.out_dir, checkpoint_resume=args.resume,
-        debug_nans=args.debug_nans,
+        debug_nans=args.debug_nans, profile=args.profile,
     )
     return Config(model=mc, data=dc, train=tc)
 

@@ -1,0 +1,61 @@
+"""CLI driver: flag parsing → Config mapping (SURVEY §2.1 #21), strict
+booleans, presets, and KNN routing."""
+
+import numpy as np
+import pytest
+
+from carca_tpu.cli import build_parser, config_from_args, load_catalog
+from carca_tpu.config import parse_bool, preset
+
+
+def _parse(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_defaults_mirror_reference():
+    """Reference CLI defaults (scripts/training.py:40-63)."""
+    a = _parse([])
+    assert (a.lr, a.seq_len, a.n_blocks, a.n_heads) == (0.001, 50, 3, 2)
+    assert (a.dropout, a.d_dim, a.g_dim) == (0.5, 64, 256)
+    assert (a.epochs, a.early_stop, a.batch_size) == (500, 20, 256)
+    assert (a.beta1, a.beta2, a.gamma) == (0.9, 0.98, 0.9)
+    assert (a.encoding, a.embedding, a.decoder) == ("identity", "all", "dot")
+    assert a.target_seq_len == 100  # hard-coded in the reference (:153)
+
+
+def test_strict_bool_fixes_reference_footgun():
+    """`--residual_sa False` is truthy in the reference (type=bool);
+    here it must parse as False."""
+    a = _parse(["--residual_sa", "False", "--l2_norm", "true"])
+    assert a.residual_sa is False and a.l2_norm is True
+    with pytest.raises(ValueError):
+        parse_bool("maybe")
+
+
+def test_config_mapping_roundtrip():
+    a = _parse(["--d_dim", "32", "--decoder", "CA", "--embedding", "AttrCtx",
+                "--use_pallas", "1", "--compute_dtype", "bfloat16",
+                "--lr_schedule", "cosine", "--lr_decay_steps", "100"])
+    cfg = config_from_args(a, n_items=50, n_attrs=4, n_ctx=2)
+    assert cfg.model.d == 32
+    assert cfg.model.decoder == "ca" and cfg.model.embedding == "attrctx"
+    assert cfg.model.use_pallas and cfg.model.compute_dtype == "bfloat16"
+    assert cfg.train.lr_schedule == "cosine"
+
+
+def test_presets_cover_baseline_configs():
+    for name in ("beauty", "games", "fashion", "men", "synthetic10m", "smoke"):
+        cfg = preset(name, n_items=100, n_attrs=8, n_ctx=4)
+        assert cfg.model.n_blocks >= 1
+    assert preset("men", 100, 8, 4).model.seq_len == 200
+    assert preset("synthetic10m").train.shard_embeddings
+    with pytest.raises(ValueError):
+        preset("nonsense")
+
+
+def test_load_catalog_synthetic_path():
+    a = _parse(["--synthetic", "true", "--synthetic_users", "50",
+                "--synthetic_items", "40"])
+    cat = load_catalog(a)
+    assert cat.n_users == 50 and cat.n_items == 41  # + pad row
+    assert np.all(cat.attrs[0] == 0)
