@@ -27,7 +27,7 @@ def main() -> None:
     from carca_tpu.data.dataset import BatchBuilder, epoch_batches
     from carca_tpu.data.device_pipeline import DeviceDataset
     from carca_tpu.data.synthetic import synthetic_catalog
-    from carca_tpu.train.loop import make_device_train_step
+    from carca_tpu.train.loop import make_scanned_device_train_step
     from carca_tpu.train.state import create_train_state, make_optimizer
 
     cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
@@ -35,37 +35,41 @@ def main() -> None:
         n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
         d=64, g=256, seq_len=50, target_len=100, n_blocks=2, n_heads=2,
         dropout=0.5, embedding="all", encoding="identity", decoder="ca",
-        use_pallas=jax.default_backend() == "tpu",
+        use_pallas="auto",
     )
     tc = TrainConfig(batch_size=256, seed=0)
     tx = make_optimizer(tc)
     state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx)
     attrs = jnp.asarray(cat.attrs)
 
-    # production path: HBM-resident catalog, batches assembled on device —
-    # per-step host→device traffic is one [B] user-row vector
+    # production path: HBM-resident catalog, batches assembled on device
+    # (per-dispatch host→device traffic is one [K, B] user-row matrix),
+    # inner_steps train steps fused into each dispatch via lax.scan
     dd = DeviceDataset(cat, mc.seq_len, mc.target_len, test=True)
     users = dd.users("train")
     rng = np.random.default_rng(0)
-    row_batches = [jnp.asarray(rows, jnp.int32) for rows in
-                   epoch_batches(users, tc.batch_size, rng, shuffle=True)][:8]
+    inner = tc.inner_steps
+    rows = [r for r in epoch_batches(users, tc.batch_size, rng, shuffle=True)]
+    chunks = [jnp.asarray(np.stack([rows[(j * inner + i) % len(rows)]
+                                    for i in range(inner)]), jnp.int32)
+              for j in range(4)]
 
-    step = make_device_train_step(mc, tx)
+    step = make_scanned_device_train_step(mc, tx, inner)
 
     from carca_tpu.utils.timing import sync
 
-    for i in range(3):  # warmup + compile
-        state, loss = step(state, attrs, dd.arrays, row_batches[i % 8])
-    sync(loss)
+    for i in range(2):  # warmup + compile
+        state, losses = step(state, attrs, dd.arrays, chunks[i % len(chunks)])
+    sync(losses)
 
-    n_steps = 100
+    n_calls = max(1, 100 // inner)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, loss = step(state, attrs, dd.arrays, row_batches[i % 8])
-    sync(loss)  # value fetch of the final loss drains the in-order queue
+    for i in range(n_calls):
+        state, losses = step(state, attrs, dd.arrays, chunks[i % len(chunks)])
+    sync(losses)  # value fetch of the final loss drains the in-order queue
     dt = time.perf_counter() - t0
 
-    examples_per_sec = n_steps * tc.batch_size / dt
+    examples_per_sec = n_calls * inner * tc.batch_size / dt
 
     baseline = None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -22,7 +22,7 @@ import argparse
 from typing import Optional
 
 from carca_tpu.config import (Config, DataConfig, ModelConfig, TrainConfig,
-                              parse_bool, preset)
+                              parse_bool, parse_pallas_flag, preset)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -76,7 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", type=str, default="",
                    help="named BASELINE config: beauty|games|fashion|men|synthetic10m|smoke")
     p.add_argument("--compute_dtype", type=str, default="float32")
-    p.add_argument("--use_pallas", type=parse_bool, default=False)
+    p.add_argument("--use_pallas", type=parse_pallas_flag, default="auto",
+                   help="true | false | auto (per-callsite by tile size)")
     p.add_argument("--remat", type=parse_bool, default=False)
     p.add_argument("--synthetic", type=parse_bool, default=False)
     p.add_argument("--synthetic_users", type=int, default=2000)

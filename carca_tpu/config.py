@@ -53,7 +53,12 @@ class ModelConfig:
     l2_norm: bool = False  # WeightedDotProduct cosine mode (src/carca.py:381-391)
     # --- TPU-native knobs (no reference counterpart) ---
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly matmuls
-    use_pallas: bool = False  # fused Pallas attention kernels vs jnp oracle
+    # Attention kernel selection: True = fused Pallas kernels, False = jnp
+    # (XLA-fused) path, "auto" = per-callsite by score-tile size — measured
+    # on v5e, XLA's fusion of the L×L softmax wins below ~200×200 tiles
+    # (the whole tile fits VMEM either way and the Pallas launch + head
+    # split overhead dominates); the fused kernel wins at long sequences.
+    use_pallas: Any = "auto"
     remat: bool = False  # jax.checkpoint the encoder stack (HBM for FLOPs)
 
     def __post_init__(self) -> None:
@@ -65,6 +70,9 @@ class ModelConfig:
             raise ValueError(f"unknown decoder {self.decoder!r}; want one of {DECODERS}")
         if self.d % self.n_heads != 0:
             raise ValueError("d must be divisible by n_heads (src/carca.py:208)")
+        if self.use_pallas not in (True, False, "auto"):
+            raise ValueError(
+                f"use_pallas must be True, False, or 'auto'; got {self.use_pallas!r}")
 
     @property
     def head_dim(self) -> int:
@@ -127,6 +135,9 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = ()  # () = single device; e.g. (8,) or (4, 2)
     mesh_axes: Tuple[str, ...] = ("data",)  # e.g. ("data", "model")
     shard_embeddings: bool = False  # row-shard item/attr tables over 'model'
+    # device-pipeline only: train steps fused into one dispatch via lax.scan
+    # (amortizes per-dispatch host overhead; 1 = one dispatch per step)
+    inner_steps: int = 8
     profile: bool = False  # jax.profiler trace annotations
     debug_nans: bool = False  # jax_debug_nans (SURVEY §5 race/NaN checks)
     checkpoint_resume: bool = True
@@ -175,12 +186,12 @@ def preset(name: str, n_items: int = 0, n_attrs: int = 0, n_ctx: int = 0) -> Con
         return Config(model=m)
     if name == "men":  # configs[3]: long sequences (len 200)
         m = _beauty_like(n_items, n_attrs, n_ctx, d=64, n_blocks=2, seq_len=200,
-                         embedding="all", decoder="ca", use_pallas=True)
+                         embedding="all", decoder="ca")
         return Config(model=m)
     if name == "synthetic10m":  # configs[4]: sharded tables, full-catalog scoring
         m = _beauty_like(n_items or 10_000_001, n_attrs or 64, n_ctx or 8,
                          d=128, n_blocks=2, seq_len=50, embedding="all",
-                         decoder="dot", compute_dtype="bfloat16", use_pallas=True)
+                         decoder="dot", compute_dtype="bfloat16")
         return Config(
             model=m,
             data=DataConfig(synthetic=True, device_sampling=True,
@@ -211,3 +222,10 @@ def parse_bool(s: Any) -> bool:
     if v in ("0", "false", "f", "no", "n"):
         return False
     raise ValueError(f"cannot parse boolean from {s!r}")
+
+
+def parse_pallas_flag(s: Any) -> Any:
+    """Parse a ``use_pallas`` value: strict boolean or the string "auto"."""
+    if str(s).strip().lower() == "auto":
+        return "auto"
+    return parse_bool(s)

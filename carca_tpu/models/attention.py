@@ -34,6 +34,23 @@ Params = Dict[str, jnp.ndarray]
 
 NEG_MASK = -(2.0**32) + 1.0  # src/carca.py:251
 
+# "auto" kernel selection: the fused Pallas kernel pays a fixed launch +
+# head-split/pad cost per call; measured on v5e, XLA's fusion of the jnp
+# path wins until the score tile reaches ~200×200 (both fit VMEM — the
+# kernel's advantage is avoiding the [B,H,Lq,Lk] HBM round-trip, which XLA
+# also avoids at small L by fusing). Crossover measured with the full train
+# step: L=50 → jnp 2.5 ms vs pallas 3.9 ms; L=200 → pallas 6.3 vs jnp 6.6.
+_AUTO_FUSED_MIN_TILE = 200 * 200
+
+
+def use_fused_attention(flag, lq: int, lk: int) -> bool:
+    """Resolve a ModelConfig.use_pallas flag (True | False | "auto") for one
+    attention callsite with static query/key lengths."""
+    if flag == "auto":
+        return (jax.default_backend() == "tpu"
+                and lq * lk >= _AUTO_FUSED_MIN_TILE)
+    return bool(flag)
+
 
 def mha_init(key: jax.Array, d: int) -> Params:
     kq, kk, kv = jax.random.split(key, 3)
@@ -86,7 +103,7 @@ def mha_apply(
     train: bool,
     rng: Optional[jax.Array],
     compute_dtype=jnp.float32,
-    use_pallas: bool = False,
+    use_pallas=False,
     return_w: bool = False,
 ):
     """query [B,Lq,d], key/value [B,Lk,d], masks [B,Lq]/[B,Lk] → [B,Lq,d]."""
@@ -98,7 +115,8 @@ def mha_apply(
     d = q.shape[-1]
     scale = (d / n_heads) ** 0.5
 
-    if use_pallas and not return_w:
+    fused = use_fused_attention(use_pallas, query.shape[1], key.shape[1])
+    if fused and not return_w:
         from carca_tpu.ops.flash_attention import fused_attention
 
         out = fused_attention(

@@ -32,6 +32,26 @@ def test_strict_bool_fixes_reference_footgun():
         parse_bool("maybe")
 
 
+def test_use_pallas_flag_parsing_and_auto_resolution():
+    import jax
+
+    from carca_tpu.config import parse_pallas_flag
+    from carca_tpu.models.attention import use_fused_attention
+
+    assert parse_pallas_flag("auto") == "auto"
+    assert parse_pallas_flag("true") is True and parse_pallas_flag("0") is False
+    with pytest.raises(ValueError):
+        parse_pallas_flag("maybe")
+    a = _parse([])
+    assert a.use_pallas == "auto"
+
+    assert use_fused_attention(True, 10, 10)
+    assert not use_fused_attention(False, 1000, 1000)
+    assert not use_fused_attention("auto", 50, 50)  # small tile → XLA path
+    on_tpu = jax.default_backend() == "tpu"
+    assert use_fused_attention("auto", 512, 512) == on_tpu
+
+
 def test_config_mapping_roundtrip():
     a = _parse(["--d_dim", "32", "--decoder", "CA", "--embedding", "AttrCtx",
                 "--use_pallas", "1", "--compute_dtype", "bfloat16",

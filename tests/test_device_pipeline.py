@@ -80,8 +80,49 @@ def test_fit_device_pipeline_end_to_end(tmp_path):
     cfg = Config(model=mc,
                  data=DataConfig(synthetic=True, device_pipeline=True),
                  train=TrainConfig(batch_size=32, epochs=2, early_stop=5,
-                                   out_dir=str(tmp_path), seed=0))
+                                   out_dir=str(tmp_path), seed=0,
+                                   inner_steps=2))  # exercise the scan path
     state, metrics = fit(cfg, cat, log=False)
     assert metrics["epochs_run"] == 2
     assert np.isfinite(metrics["val_loss"])
     assert 0.0 <= metrics["val_hr"] <= 1.0
+
+
+def test_scanned_step_matches_single_steps(setup):
+    """K steps through the lax.scan dispatch ≡ K single-step dispatches —
+    identical RNG threading, identical final params and per-step losses."""
+    from carca_tpu.config import ModelConfig, TrainConfig
+    from carca_tpu.train.loop import (make_device_train_step,
+                                      make_scanned_device_train_step)
+    from carca_tpu.train.state import create_train_state, make_optimizer
+
+    cat, L, T, host, dev = setup
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=L, target_len=T, n_blocks=1,
+                     n_heads=2, dropout=0.0, decoder="ca")
+    tc = TrainConfig(batch_size=16, seed=0)
+    tx = make_optimizer(tc)
+    attrs = jnp.asarray(cat.attrs)
+    users = dev.users("train")
+    K = 3
+    chunks = np.stack([np.resize(users[i * 16:(i + 1) * 16], 16)
+                       for i in range(K)])
+
+    s1 = create_train_state(jax.random.PRNGKey(7), mc, tc, tx)
+    single = make_device_train_step(mc, tx)
+    losses_seq = []
+    for i in range(K):
+        s1, loss = single(s1, attrs, dev.arrays,
+                          jnp.asarray(chunks[i], jnp.int32))
+        losses_seq.append(float(loss))
+
+    s2 = create_train_state(jax.random.PRNGKey(7), mc, tc, tx)
+    scanned = make_scanned_device_train_step(mc, tx, K)
+    s2, losses = scanned(s2, attrs, dev.arrays, jnp.asarray(chunks, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-5)
+    assert int(s2.step) == int(s1.step) == K
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-5, atol=1e-6),
+        s1.params, s2.params)
