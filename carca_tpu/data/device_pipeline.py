@@ -76,7 +76,7 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
                    rng: jax.Array) -> Dict[str, jnp.ndarray]:
     """[B] user rows → train batch, entirely on device."""
     items, ctx = arrays["items"], arrays["ctx"]
-    p_evt, valid, alive, _, _ = _profile_slots(arrays, "train", user_rows, L)
+    p_evt, valid, alive, e, off = _profile_slots(arrays, "train", user_rows, L)
 
     p_x = jnp.where(valid, items[p_evt], 0)
     p_c = ctx[p_evt] * valid[..., None]
@@ -84,8 +84,12 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     o_pos = jnp.where(valid, items[o_evt], 0)
     o_pos_c = ctx[o_evt] * valid[..., None]
 
-    # reject against everything visible (window + targets); fresh per call
-    visible = jnp.concatenate([p_x, o_pos], axis=1)
+    # reject against everything visible (window + targets); fresh per call.
+    # The targets are the window shifted by one, so visible = window ∪ {last
+    # positive} — an [B, L+1] compare set instead of concat([p_x, o_pos])'s
+    # [B, 2L] (the sampler's all-pairs compare cost is linear in this width)
+    last_pos = jnp.where(alive, items[jnp.where(alive, off + e - 1, 0)], 0)
+    visible = jnp.concatenate([p_x, last_pos[:, None]], axis=1)
     negs = device_sample_negatives(rng, visible, n_items, L)
     o_neg = jnp.where(valid, negs, 0)
 

@@ -94,7 +94,40 @@ def score_targets(
     attrs_table: Optional[jnp.ndarray] = None,
     lookup=embeddings._default_lookup,
 ) -> jnp.ndarray:
-    """Embed + decode each target group; concat scores (src/carca.py:424-431)."""
+    """Embed + decode each target group; concat scores (src/carca.py:424-431).
+
+    The reference loops over target groups on device (``src/carca.py:424-429``
+    — the per-target Python loop flagged in SURVEY §3.3). Here same-shaped
+    groups (the train-time [pos, neg] pair) are folded into the batch
+    dimension and decoded in ONE embedding + decoder call: every row's math
+    is unchanged (attention/decoding is independent per batch element and
+    each group spans target positions 0..L-1, so the causal −1 offset is
+    identical), but the matmuls double in size instead of doubling in count.
+    """
+    b = p_e.shape[0]
+    same_shape = (len(targets) > 1
+                  and all(t[0].shape == targets[0][0].shape for t in targets)
+                  and all((t[1] is None) == (targets[0][1] is None) and
+                          (t[2] is None) == (targets[0][2] is None)
+                          for t in targets))
+    if same_shape:
+        g = len(targets)
+        cat = lambda i: (None if targets[0][i] is None else
+                         jnp.concatenate([t[i] for t in targets], axis=0))
+        o_x, o_a, o_c = cat(0), cat(1), cat(2)
+        o_mask = get_mask(o_x)
+        o_e = embeddings.embedding_apply(
+            params["embed"], cfg, o_x, o_a, o_c, o_mask,
+            target=True, attrs_table=attrs_table, lookup=lookup,
+        )
+        tile = lambda x: jnp.concatenate([x] * g, axis=0)
+        y = decoders.decoder_apply(
+            params["decoder"], cfg, o_e, o_mask, tile(p_e), tile(p_mask),
+            train=train, rng=rng,
+        )
+        # [G·B, L] → scores concatenated group-major along the last axis
+        return y.reshape(g, b, -1).transpose(1, 0, 2).reshape(b, -1)
+
     rngs = list(jax.random.split(rng, len(targets))) if rng is not None else [None] * len(targets)
     y_preds: List[jnp.ndarray] = []
     for (o_x, o_a, o_c), r in zip(targets, rngs):
