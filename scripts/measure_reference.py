@@ -32,24 +32,37 @@ REFERENCE = "/root/reference"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--early_stop", type=int, default=20)
     ap.add_argument("--users", type=int, default=4096)
     ap.add_argument("--items", type=int, default=2000)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--decoder", type=str, default="ca")
     ap.add_argument("--embedding", type=str, default="all")
+    ap.add_argument("--d_dim", type=int, default=64)
+    ap.add_argument("--g_dim", type=int, default=256)
+    ap.add_argument("--seq_len", type=int, default=50)
+    ap.add_argument("--n_attrs", type=int, default=12)
+    ap.add_argument("--n_ctx", type=int, default=4)
+    ap.add_argument("--max_len", type=int, default=30)
+    ap.add_argument("--min_len", type=int, default=4)
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BASELINE_MEASURED.json"))
     args = ap.parse_args()
     default_out = os.path.join(REPO, "BASELINE_MEASURED.json")
-    if args.out == default_out and (args.decoder, args.embedding) != ("ca", "all"):
+    flagship = ((args.decoder, args.embedding, args.d_dim, args.seq_len)
+                == ("ca", "all", 64, 50))
+    if args.out == default_out and not flagship:
         raise SystemExit(
-            "BASELINE_MEASURED.json is the flagship (ca/all) baseline that "
-            "bench.py compares against — pass --out for other configs")
+            "BASELINE_MEASURED.json is the flagship (ca/all d=64 L=50) "
+            "baseline that bench.py compares against — pass --out for "
+            "other configs")
 
     sys.path.insert(0, REPO)
     from carca_tpu.data.synthetic import synthetic_catalog, write_reference_format
 
-    cat = synthetic_catalog(n_users=args.users, n_real_items=args.items, seed=0)
+    cat = synthetic_catalog(n_users=args.users, n_real_items=args.items,
+                            n_attrs=args.n_attrs, n_ctx=args.n_ctx,
+                            min_len=args.min_len, max_len=args.max_len, seed=0)
     data_dir = tempfile.mkdtemp(prefix="carca_ref_data_")
     write_reference_format(cat, data_dir)
     out_dir = tempfile.mkdtemp(prefix="carca_ref_out_")
@@ -65,10 +78,11 @@ def main() -> None:
         "--out_dir", out_dir,
         "--device", "cpu",
         "--epochs", str(args.epochs),
+        "--early_stop", str(args.early_stop),
         "--n_blocks", "2",
-        "--d_dim", "64",
-        "--g_dim", "256",
-        "--seq_len", "50",
+        "--d_dim", str(args.d_dim),
+        "--g_dim", str(args.g_dim),
+        "--seq_len", str(args.seq_len),
         "--batch_size", str(args.batch_size),
         "--decoder", args.decoder,
         "--embedding", args.embedding,
@@ -102,7 +116,7 @@ def main() -> None:
 
     # per-epoch train time = gap between successive Val and Train stamps
     train_times = []
-    hr = ndcg = None
+    hr = ndcg = best_ndcg = best_hr = test_hr = test_ndcg = None
     prev_val_t = None
     for h, m, s, ep, split, loss, h10, n10 in stamps:
         t = secs(h, m, s)
@@ -112,6 +126,10 @@ def main() -> None:
         elif split == "Val":
             prev_val_t = t
             hr, ndcg = float(h10), float(n10)
+            if best_ndcg is None or ndcg > best_ndcg:
+                best_ndcg, best_hr = ndcg, hr
+        elif split == "Test" and h10:
+            test_hr, test_ndcg = float(h10), float(n10)
     # first epoch: from process start — approximate with wall/epochs if only
     # one epoch; steady-state = later epochs when available
     if train_times:
@@ -123,15 +141,21 @@ def main() -> None:
     result = {
         "source": "r-papso/carca-replication scripts/training.py (torch CPU)",
         "config": {
-            "users": args.users, "items": args.items, "d": 64, "n_blocks": 2,
-            "seq_len": 50, "batch_size": args.batch_size,
+            "users": args.users, "items": args.items, "d": args.d_dim,
+            "g": args.g_dim, "n_blocks": 2, "seq_len": args.seq_len,
+            "n_attrs": args.n_attrs, "n_ctx": args.n_ctx,
+            "max_len": args.max_len, "batch_size": args.batch_size,
             "decoder": args.decoder, "embedding": args.embedding,
-            "epochs": args.epochs,
+            "epochs": args.epochs, "early_stop": args.early_stop,
         },
         "train_examples_per_sec": round(examples_per_sec, 2),
         "epoch_seconds": round(epoch_s, 2),
         "val_hr10": hr,
         "val_ndcg10": ndcg,
+        "best_val_hr10": best_hr,
+        "best_val_ndcg10": best_ndcg,
+        "test_hr10": test_hr,
+        "test_ndcg10": test_ndcg,
         "wall_seconds": round(wall, 1),
     }
     with open(args.out, "w") as fh:
