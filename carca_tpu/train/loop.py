@@ -211,24 +211,71 @@ def make_device_eval_step(mc, top_k: int, mode: str) -> Callable:
     return eval_step
 
 
+def make_scanned_device_eval_step(mc, top_k: int, mode: str,
+                                  inner_steps: int) -> Callable:
+    """``inner_steps`` eval batches per dispatch: (params, attrs_table,
+    catalog_arrays, user_rows [K, B], keys [K]) → per-batch (hr, ndcg,
+    loss, n_valid) arrays of length K."""
+    from carca_tpu.data.device_pipeline import assemble_eval
+
+    @jax.jit
+    def scanned_eval(params, attrs_table, arrays, user_rows, keys):
+        def body(_, xs):
+            rows, key = xs
+            batch = assemble_eval(arrays, mc.seq_len, mc.target_len,
+                                  mc.n_items, mode, rows, key)
+            y_pred = carca_apply(
+                params, mc, (batch["p_x"], None, batch["p_c"]),
+                [(batch["o_x"], None, batch["o_c"])],
+                train=False, attrs_table=attrs_table,
+            )
+            mask = get_mask(batch["o_x"])
+            loss = masked_bce(y_pred, batch["y_true"], mask)
+            row_mask = get_mask(batch["o_x"][:, 0])
+            hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+            return None, (hr, ndcg, loss, batch["n_valid"])
+
+        _, out = jax.lax.scan(body, None, (user_rows, keys),
+                              length=inner_steps)
+        return out
+
+    return scanned_eval
+
+
 def evaluate_device(eval_step, params, attrs_table, arrays, users,
-                    batch_size: int, key: jax.Array) -> Tuple[float, float, float]:
-    """Device-pipeline evaluator: same protocol as ``evaluate``."""
+                    batch_size: int, key: jax.Array,
+                    scanned_step: Optional[Callable] = None,
+                    inner_steps: int = 1) -> Tuple[float, float, float]:
+    """Device-pipeline evaluator: same protocol as ``evaluate``. With
+    ``scanned_step``, whole [inner_steps, B] blocks go through one dispatch
+    (the per-batch RNG folding is identical either way)."""
+    batches = list(epoch_batches(users, batch_size, shuffle=False))
+    keys = [jax.random.fold_in(key, i) for i in range(len(batches))]
     results = []
-    for i, rows in enumerate(epoch_batches(users, batch_size, shuffle=False)):
+    i = 0
+    if scanned_step is not None and inner_steps > 1:
+        while i + inner_steps <= len(batches):
+            block = jnp.asarray(np.stack(batches[i:i + inner_steps]), jnp.int32)
+            kblock = jnp.stack(keys[i:i + inner_steps])
+            results.append(scanned_step(params, attrs_table, arrays, block,
+                                        kblock))
+            i += inner_steps
+    for j in range(i, len(batches)):
         results.append(eval_step(
-            params, attrs_table, arrays, jnp.asarray(rows, jnp.int32),
-            jax.random.fold_in(key, i)))
+            params, attrs_table, arrays, jnp.asarray(batches[j], jnp.int32),
+            keys[j]))
     hr = ndcg = loss_sum = 0.0
     total = 0
+    n_batches = 0
     for h, n, l, nv in results:
-        hr += float(h)
-        ndcg += float(n)
-        loss_sum += float(l)
-        total += int(nv)
+        hr += float(np.sum(np.asarray(h)))
+        ndcg += float(np.sum(np.asarray(n)))
+        loss_sum += float(np.sum(np.asarray(l)))
+        total += int(np.sum(np.asarray(nv)))
+        n_batches += np.asarray(l).size
     if total == 0:
         return 0.0, 0.0, 0.0
-    return hr / total, ndcg / total, loss_sum / max(len(results), 1)
+    return hr / total, ndcg / total, loss_sum / max(n_batches, 1)
 
 
 def evaluate_retrieval(
@@ -437,6 +484,10 @@ def fit(
                         if tc.inner_steps > 1 else None)
         eval_steps = {m: make_device_eval_step(mc, tc.top_k, m)
                       for m in ("val", "test")}
+        scanned_evals = {m: (make_scanned_device_eval_step(
+                                 mc, tc.top_k, m, tc.inner_steps)
+                             if tc.inner_steps > 1 else None)
+                         for m in ("val", "test")}
     else:
         train_step = make_train_step(mc, tx)
         eval_step = make_eval_step(mc, tc.top_k)
@@ -525,7 +576,8 @@ def fit(
             hr, ndcg, val_loss = evaluate_device(
                 eval_steps["val"], state.params, attrs_table, dd.arrays,
                 val_users, tc.batch_size,
-                jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
+                jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch),
+                scanned_step=scanned_evals["val"], inner_steps=tc.inner_steps)
         else:
             hr, ndcg, val_loss = evaluate(
                 eval_step, state.params, attrs_table, builder, val_users,
@@ -574,7 +626,9 @@ def fit(
             hr, ndcg, test_loss = evaluate_device(
                 eval_steps["test"], state.params, attrs_table, dd.arrays,
                 test_users, tc.batch_size,
-                jax.random.fold_in(jax.random.PRNGKey(tc.seed), 999_983))
+                jax.random.fold_in(jax.random.PRNGKey(tc.seed), 999_983),
+                scanned_step=scanned_evals["test"],
+                inner_steps=tc.inner_steps)
         else:
             hr, ndcg, test_loss = evaluate(
                 eval_step, state.params, attrs_table, builder, test_users,

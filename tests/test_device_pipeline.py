@@ -88,6 +88,30 @@ def test_fit_device_pipeline_end_to_end(tmp_path):
     assert 0.0 <= metrics["val_hr"] <= 1.0
 
 
+def test_scanned_eval_matches_per_batch_eval(setup):
+    """evaluate_device with the scanned dispatch must produce exactly the
+    same (HR, NDCG, loss) as per-batch dispatches — same per-batch keys."""
+    from carca_tpu.config import ModelConfig, TrainConfig
+    from carca_tpu.models.carca import carca_init
+    from carca_tpu.train.loop import (evaluate_device, make_device_eval_step,
+                                      make_scanned_device_eval_step)
+
+    cat, L, T, host, dev = setup
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=L, target_len=T, n_blocks=1,
+                     n_heads=2, dropout=0.0, decoder="ca")
+    params = carca_init(jax.random.PRNGKey(3), mc)
+    attrs = jnp.asarray(cat.attrs)
+    users = dev.users("val")  # 3 batches of 16 at inner=2 → scan + remainder
+    step = make_device_eval_step(mc, 10, "val")
+    scanned = make_scanned_device_eval_step(mc, 10, "val", 2)
+    key = jax.random.PRNGKey(11)
+    ref = evaluate_device(step, params, attrs, dev.arrays, users[:48], 16, key)
+    got = evaluate_device(step, params, attrs, dev.arrays, users[:48], 16, key,
+                          scanned_step=scanned, inner_steps=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
 def test_scanned_step_matches_single_steps(setup):
     """K steps through the lax.scan dispatch ≡ K single-step dispatches —
     identical RNG threading, identical final params and per-step losses."""
