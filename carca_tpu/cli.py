@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_native", type=parse_bool, default=True)
     p.add_argument("--device_pipeline", type=parse_bool, default=False,
                    help="HBM-resident catalog + on-device batch assembly")
+    p.add_argument("--inner_steps", type=int, default=8,
+                   help="device-pipeline train/eval steps fused per dispatch "
+                        "(lax.scan); 1 = one dispatch per step")
     p.add_argument("--eval_retrieval", type=int, default=0,
                    help="after training, run full-catalog leave-one-out "
                         "retrieval eval at this top-k (dot/wdot decoders)")
@@ -122,6 +125,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         early_stop=args.early_stop, seed=args.seed, test=args.test,
         out_dir=args.out_dir, checkpoint_resume=args.resume,
         debug_nans=args.debug_nans, profile=args.profile,
+        inner_steps=args.inner_steps,
     )
     return Config(model=mc, data=dc, train=tc)
 

@@ -217,6 +217,7 @@ def _fwd_call(cfg: _AttnConfig, qh, kh, vh, qm, km, seed):
         out_specs=q_like,
         out_shape=jax.ShapeDtypeStruct((b, h, lqp, dh), jnp.float32),
         cost_estimate=_cost(b, h, lqp, lkp, dh, 2),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=cfg.interpret,
     )(seed, qh, kh, vh, qm, km)
 
@@ -237,6 +238,7 @@ def _bwd_call(cfg: _AttnConfig, qh, kh, vh, qm, km, seed, do):
             jax.ShapeDtypeStruct((b, h, lkp, dh), jnp.float32),
         ),
         cost_estimate=_cost(b, h, lqp, lkp, dh, 5),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=cfg.interpret,
     )(seed, qh, kh, vh, qm, km, do)
 
@@ -266,15 +268,34 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _pick_block_b(b: int, lq: int, lk: int) -> int:
-    """Largest power-of-two divisor of B such that VMEM holds the working
-    set: the bwd kernel keeps ~6 score tiles (block_b × block_q × Lkp fp32)
-    live plus double-buffered q/k/v/do DMA blocks, against the 16 MB scoped
-    limit — a 512 KB score-tile budget keeps the total under ~6 MB."""
-    budget = 512 * 1024  # bytes for one score tile
-    cap = max(1, budget // max(4 * lq * lk, 1))
+def _bwd_vmem_bytes(bb: int, bq: int, lkp: int, dh: int) -> int:
+    """Estimated per-program VMEM working set of the bwd kernel (the larger
+    of the two) at batch block ``bb``, in bytes.
+
+    VMEM arrays are tiled (8, 128): the minor dim pads to a 128-lane
+    multiple — at dh=32 a K/V block really occupies 4× its logical size.
+    Counts: double-buffered input blocks (q, k, v, do), output accumulators
+    (dq, dk, dv), and ~8 live [bb, bq, lkp] fp32 score-shaped temporaries.
+    """
+    lane = lambda x: _round_up(x, 128)
+    sub = lambda x: _round_up(x, 8)
+    q_like = bb * sub(bq) * lane(dh) * 4
+    kv_like = bb * sub(lkp) * lane(dh) * 4
+    score = bb * sub(bq) * lane(lkp) * 4
+    return 2 * (2 * q_like + 2 * kv_like) + (q_like + 2 * kv_like) + 8 * score
+
+
+_VMEM_LIMIT = 32 * 1024 * 1024  # raised from Mosaic's 16 MB default
+
+
+def _pick_block_b(b: int, bq: int, lkp: int, dh: int) -> int:
+    """Largest power-of-two divisor of B whose bwd working set stays under
+    ~2/3 of the scoped-VMEM limit (leaves slack for Mosaic's own scratch),
+    capped at 32 rows per program."""
+    budget = (_VMEM_LIMIT * 2) // 3
     bb = 1
-    while bb * 2 <= min(b, cap, 32) and b % (bb * 2) == 0:
+    while (bb * 2 <= min(b, 32) and b % (bb * 2) == 0
+           and _bwd_vmem_bytes(bb * 2, bq, lkp, dh) <= budget):
         bb *= 2
     return bb
 
@@ -322,7 +343,7 @@ def fused_attention(
     bq = min(block_q, max(8, _round_up(lq, 8)))
     lqp = _round_up(lq, bq)
     lkp = _round_up(lk, 128 if not interpret else 8)
-    bb = block_b or _pick_block_b(b, bq, lkp)
+    bb = block_b or _pick_block_b(b, bq, lkp, dh)
     qh = jnp.pad(qh, ((0, 0), (0, 0), (0, lqp - lq), (0, 0)))
     kh = jnp.pad(kh, ((0, 0), (0, 0), (0, lkp - lk), (0, 0)))
     vh = jnp.pad(vh, ((0, 0), (0, 0), (0, lkp - lk), (0, 0)))
