@@ -13,6 +13,7 @@ host CPU and record it there). Falls back to 1.0 when absent.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -23,6 +24,13 @@ import numpy as np
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=("flagship", "men"), default="flagship",
+                    help="men = long-sequence shape (L=200, BASELINE "
+                         "configs[3]); reference measured 52.16 ex/s there "
+                         "(VALIDATION_men_ref.json)")
+    args = ap.parse_args()
+
     from carca_tpu.config import ModelConfig, TrainConfig
     from carca_tpu.data.dataset import BatchBuilder, epoch_batches
     from carca_tpu.data.device_pipeline import DeviceDataset
@@ -30,10 +38,16 @@ def main() -> None:
     from carca_tpu.train.loop import make_scanned_device_train_step
     from carca_tpu.train.state import create_train_state, make_optimizer
 
-    cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
+    if args.config == "men":
+        cat = synthetic_catalog(n_users=2048, n_real_items=2000, n_attrs=12,
+                                n_ctx=4, min_len=40, max_len=250, seed=0)
+        seq_len = 200
+    else:
+        cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
+        seq_len = 50
     mc = ModelConfig(
         n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
-        d=64, g=256, seq_len=50, target_len=100, n_blocks=2, n_heads=2,
+        d=64, g=256, seq_len=seq_len, target_len=100, n_blocks=2, n_heads=2,
         dropout=0.5, embedding="all", encoding="identity", decoder="ca",
         use_pallas="auto",
     )
@@ -72,14 +86,15 @@ def main() -> None:
     examples_per_sec = n_calls * inner * tc.batch_size / dt
 
     baseline = None
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BASELINE_MEASURED.json")
+    base_file = ("VALIDATION_men_ref.json" if args.config == "men"
+                 else "BASELINE_MEASURED.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), base_file)
     if os.path.exists(path):
         with open(path) as fh:
             baseline = json.load(fh).get("train_examples_per_sec")
 
     print(json.dumps({
-        "metric": "train_examples_per_sec_flagship",
+        "metric": f"train_examples_per_sec_{args.config}",
         "value": round(examples_per_sec, 1),
         "unit": "examples/sec/chip",
         "vs_baseline": round(examples_per_sec / baseline, 3) if baseline else 1.0,

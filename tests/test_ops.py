@@ -117,3 +117,28 @@ def test_fused_attention_dropout_fallback_shape_and_scale():
                           dropout_rate=0.5, rng=jax.random.PRNGKey(7))
     assert out.shape == (4, 10, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_block_b_working_set_fits_scoped_vmem():
+    """Regression: the bwd working-set estimate must keep every realistic
+    shape under the kernel's scoped-VMEM limit. The folded-target decoder
+    at small dims (B=128, bq=16, Lkp=128, dh=32) previously overflowed the
+    16 MB default because lane padding (minor dim → 128) was ignored."""
+    from carca_tpu.ops.flash_attention import (
+        _VMEM_LIMIT, _bwd_vmem_bytes, _pick_block_b, _round_up)
+
+    shapes = []
+    for b in (32, 64, 128, 256, 512, 2048):
+        for lq in (10, 16, 50, 101, 200, 512):
+            for lk in (10, 50, 128, 200, 256):
+                for dh in (16, 32, 64, 128):
+                    shapes.append((b, lq, lk, dh))
+    for b, lq, lk, dh in shapes:
+        bq = min(512, max(8, _round_up(lq, 8)))
+        lkp = _round_up(lk, 128)
+        bb = _pick_block_b(b, bq, lkp, dh)
+        assert b % bb == 0
+        assert _bwd_vmem_bytes(bb, bq, lkp, dh) <= _VMEM_LIMIT, (b, lq, lk, dh)
+
+    # lane padding is modeled: at dh=32 a K/V block costs 4x its logical size
+    assert _bwd_vmem_bytes(8, 16, 128, 32) == _bwd_vmem_bytes(8, 16, 128, 128)
