@@ -1,14 +1,20 @@
-"""Headline benchmark: train throughput (examples/sec/chip) on the flagship
-config — 2-block CARCA d=64, seq 50, cross-attention decoder, batch 256,
-fused Pallas attention — on whatever accelerator JAX exposes.
+"""Headline benchmark: train throughput (examples/sec/chip) on whatever
+accelerator JAX exposes.
+
+Default (no args) is the flagship config — 2-block CARCA d=64, seq 50,
+cross-attention decoder, batch 256, auto-selected attention kernel —
+compared against the measured reference throughput in
+BASELINE_MEASURED.json (the reference repo publishes no numbers —
+SURVEY.md §6; we measured its PyTorch training loop on this host's CPU).
+``--config men`` switches to the long-sequence shape (L=200, BASELINE
+configs[3]) and compares against VALIDATION_men_ref.json instead.
+``--batch N`` overrides the batch size; when N != 256 the JSON line gains a
+``batch`` field since the baseline was measured at 256.
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-``vs_baseline`` compares against the measured reference implementation
-throughput recorded in BASELINE_MEASURED.json (the reference repo publishes
-no numbers — SURVEY.md §6; we measure its PyTorch training loop on the same
-host CPU and record it there). Falls back to 1.0 when absent.
+``vs_baseline`` falls back to 1.0 when the baseline file is absent.
 """
 
 from __future__ import annotations

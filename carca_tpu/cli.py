@@ -95,9 +95,56 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# CLI flags that overlay a --preset Config when explicitly set: execution
+# and tuning knobs, not model shape (a preset *is* the model shape).
+_PRESET_OVERLAY = {
+    "train": {
+        "lr": "lr", "lr_schedule": "lr_schedule",
+        "lr_decay_steps": "lr_decay_steps", "lr_decay_rate": "lr_decay_rate",
+        "beta1": "beta1", "beta2": "beta2", "l2_reg": "l2_reg",
+        "batch_size": "batch_size", "epochs": "epochs",
+        "early_stop": "early_stop", "seed": "seed", "test": "test",
+        "out_dir": "out_dir", "resume": "checkpoint_resume",
+        "debug_nans": "debug_nans", "profile": "profile",
+        "inner_steps": "inner_steps",
+    },
+    "data": {
+        "use_native": "use_native", "device_pipeline": "device_pipeline",
+        "synthetic_users": "synthetic_users",
+        "synthetic_items": "synthetic_items",
+    },
+    "model": {
+        "use_pallas": "use_pallas", "compute_dtype": "compute_dtype",
+        "remat": "remat",
+    },
+}
+
+
+def _overlay_cli_flags(cfg: Config, args) -> Config:
+    """Apply CLI flags that differ from their parser defaults on top of a
+    preset Config (a flag set to its default value is indistinguishable
+    from an unset flag — that case keeps the preset's value)."""
+    import dataclasses
+
+    defaults = vars(build_parser().parse_args([]))
+    sections = {"train": cfg.train, "data": cfg.data, "model": cfg.model}
+    changed = {}
+    for section, fields in _PRESET_OVERLAY.items():
+        repl = {dst: getattr(args, src) for src, dst in fields.items()
+                if getattr(args, src) != defaults[src]}
+        if repl:
+            changed[section] = dataclasses.replace(sections[section], **repl)
+    if not changed:
+        return cfg
+    return Config(model=changed.get("model", cfg.model),
+                  data=changed.get("data", cfg.data),
+                  train=changed.get("train", cfg.train))
+
+
 def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
     if args.preset:
-        return preset(args.preset, n_items, n_attrs, n_ctx)
+        return _overlay_cli_flags(preset(args.preset, n_items, n_attrs, n_ctx),
+                                  args)
     mc = ModelConfig(
         n_items=n_items, n_attrs=n_attrs, n_ctx=n_ctx,
         d=args.d_dim, g=args.g_dim, seq_len=args.seq_len,

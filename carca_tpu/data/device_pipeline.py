@@ -58,18 +58,28 @@ class DeviceDataset:
         return self._users[mode]
 
 
-def _profile_slots(arrays, mode: str, user_rows: jnp.ndarray, L: int):
-    """Right-aligned window event indices (BatchBuilder._profile_slots)."""
+def _window_slots(arrays, mode: str, user_rows: jnp.ndarray, L: int,
+                  n_slots: int):
+    """Right-aligned window event indices (BatchBuilder._profile_slots).
+
+    ``n_slots`` = L yields the profile window; L+1 extends it by one slot
+    so the final event (the shift-by-one positives' last item) shares the
+    same gather. Slot j covers event position ``e - L - 1 + j``.
+    """
     rows = jnp.maximum(user_rows, 0)
     s = arrays[f"start_{mode}"][rows]
     e = arrays[f"end_{mode}"][rows]
     off = arrays["offsets"][rows]
     alive = (user_rows >= 0) & (e > s)
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    j = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
     pi = e[:, None] - L - 1 + j
     valid = (pi >= s[:, None]) & alive[:, None]
     p_evt = jnp.where(valid, off[:, None] + pi, 0)
     return p_evt, valid, alive, e, off
+
+
+def _profile_slots(arrays, mode: str, user_rows: jnp.ndarray, L: int):
+    return _window_slots(arrays, mode, user_rows, L, L)
 
 
 def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
@@ -83,15 +93,8 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     separate p/o/last gathers; halved by the shared window).
     """
     items, ctx = arrays["items"], arrays["ctx"]
-    rows = jnp.maximum(user_rows, 0)
-    s = arrays["start_train"][rows]
-    e = arrays["end_train"][rows]
-    off = arrays["offsets"][rows]
-    alive = (user_rows >= 0) & (e > s)
-    j = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
-    pi = e[:, None] - L - 1 + j  # window event positions, [B, L+1]
-    validw = (pi >= s[:, None]) & alive[:, None]
-    evt = jnp.where(validw, off[:, None] + pi, 0)
+    evt, validw, alive, _, _ = _window_slots(arrays, "train", user_rows, L,
+                                             L + 1)
     w_x = jnp.where(validw, items[evt], 0)  # [B, L+1]
     w_c = ctx[evt] * validw[..., None]  # [B, L+1, C]
 

@@ -341,8 +341,18 @@ def fused_attention(
     qh, kh, vh = heads(q, lq), heads(k, lk), heads(v, lk)
 
     bq = min(block_q, max(8, _round_up(lq, 8)))
-    lqp = _round_up(lq, bq)
     lkp = _round_up(lk, 128 if not interpret else 8)
+    # shrink the q block until even bb=1 fits the budget; if the K/V blocks
+    # alone overflow (enormous Lk), the kernel has no valid tiling — use the
+    # jnp math rather than failing at Mosaic compile time
+    budget = (_VMEM_LIMIT * 2) // 3
+    while bq > 8 and _bwd_vmem_bytes(1, bq, lkp, dh) > budget:
+        bq = max(8, _round_up(bq // 2, 8))
+    if _bwd_vmem_bytes(1, bq, lkp, dh) > budget:
+        return _jnp_fallback(q, k, v, q_mask, k_mask, causal=causal,
+                             scale=scale, dropout_rate=dropout_rate, rng=rng,
+                             n_heads=n_heads)
+    lqp = _round_up(lq, bq)
     bb = block_b or _pick_block_b(b, bq, lkp, dh)
     qh = jnp.pad(qh, ((0, 0), (0, 0), (0, lqp - lq), (0, 0)))
     kh = jnp.pad(kh, ((0, 0), (0, 0), (0, lkp - lk), (0, 0)))

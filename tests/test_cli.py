@@ -79,3 +79,27 @@ def test_load_catalog_synthetic_path():
     cat = load_catalog(a)
     assert cat.n_users == 50 and cat.n_items == 41  # + pad row
     assert np.all(cat.attrs[0] == 0)
+
+
+def test_preset_overlays_explicit_cli_flags():
+    """Execution/tuning flags set on the command line must override a
+    --preset's values; unset flags keep the preset's (the old behavior
+    silently discarded e.g. --inner_steps under --preset)."""
+    from carca_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--preset", "beauty", "--inner_steps", "1", "--epochs", "3",
+         "--batch_size", "32", "--use_pallas", "false"])
+    cfg = config_from_args(args, n_items=100, n_attrs=8, n_ctx=4)
+    assert cfg.train.inner_steps == 1
+    assert cfg.train.epochs == 3
+    assert cfg.train.batch_size == 32
+    assert cfg.model.use_pallas is False
+    # model *shape* comes from the preset, untouched by parser defaults
+    base = preset("beauty", 100, 8, 4)
+    assert cfg.model.seq_len == base.model.seq_len
+    assert cfg.model.d == base.model.d
+
+    # no explicit flags → preset passes through unchanged
+    args = build_parser().parse_args(["--preset", "beauty"])
+    assert config_from_args(args, 100, 8, 4) == base

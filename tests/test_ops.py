@@ -142,3 +142,20 @@ def test_block_b_working_set_fits_scoped_vmem():
 
     # lane padding is modeled: at dh=32 a K/V block costs 4x its logical size
     assert _bwd_vmem_bytes(8, 16, 128, 32) == _bwd_vmem_bytes(8, 16, 128, 128)
+
+
+def test_fused_attention_out_of_regime_falls_back_to_jnp():
+    """Shapes whose backward working set cannot fit scoped VMEM at any
+    block size must produce the jnp math, not a Mosaic compile error."""
+    from carca_tpu.ops import flash_attention as fa
+
+    # huge Lk: K/V blocks alone exceed the budget even at bb=1, bq=8
+    b, lq, lk, d, h = 1, 8, 70_000, 16, 2
+    assert fa._bwd_vmem_bytes(1, 8, fa._round_up(lk, 128), d // h) > (
+        fa._VMEM_LIMIT * 2) // 3
+    q, k, v, qm, km = _rand_inputs(jax.random.PRNGKey(0), b, lq, lk, d)
+    scale = (d / h) ** 0.5
+    out = fused_attention(q, k, v, qm, km, causal=None, scale=scale,
+                          n_heads=h)
+    ref = _oracle(q, k, v, qm, km, None, scale, h)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
