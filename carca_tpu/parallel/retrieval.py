@@ -101,11 +101,10 @@ def embed_catalog(
         [e[:-1].reshape(-1, e.shape[-1]), e[-1, pad:]], axis=0)
 
 
-def queries(params, cfg: ModelConfig, profile, attrs_table) -> jnp.ndarray:
-    """Encoded last profile state per user — the dot decoder's eval query
-    (``p[:, -1:, :]``, src/carca.py:362) with the wdot γ-scale folded in."""
-    p_e, _ = encode_profile(params, cfg, profile, train=False,
-                            attrs_table=attrs_table)
+def query_from_encoded(p_e: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Encoded profile [B, L, d] → retrieval query [B, d]: the dot decoder's
+    eval query (``p[:, -1:, :]``, src/carca.py:362) with the wdot γ-scale
+    (and cosine-mode normalization) folded in."""
     q = p_e[:, -1, :]
     if cfg.decoder == "wdot":
         L = p_e.shape[1]
@@ -116,6 +115,25 @@ def queries(params, cfg: ModelConfig, profile, attrs_table) -> jnp.ndarray:
     return q
 
 
+def queries(params, cfg: ModelConfig, profile, attrs_table) -> jnp.ndarray:
+    """Encode the profile and reduce it to the retrieval query (see
+    ``query_from_encoded``)."""
+    p_e, _ = encode_profile(params, cfg, profile, train=False,
+                            attrs_table=attrs_table)
+    return query_from_encoded(p_e, cfg)
+
+
+def catalog_in_decoder_space(e: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Catalog embeddings → the space the decoder scores in.
+
+    The wdot cosine mode normalizes **both** sides (``src/carca.py:381-391``);
+    queries are normalized in ``query_from_encoded``, catalog rows here, so
+    dot-product retrieval ranks identically to the decoder."""
+    if cfg.decoder == "wdot" and cfg.l2_norm:
+        return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+    return e
+
+
 def _masked_scores(q, e, ids, exclude):
     """[B, R] dot scores; pad id 0 and per-user exclusions at −inf."""
     s = jnp.einsum("bd,rd->br", q, e, preferred_element_type=jnp.float32)
@@ -124,6 +142,36 @@ def _masked_scores(q, e, ids, exclude):
         hit = jnp.any(ids[None, None, :] == exclude[:, :, None], axis=1)
         s = jnp.where(hit, NEG_INF, s)
     return s
+
+
+def topk_given_queries(
+    q: jnp.ndarray,
+    e: jnp.ndarray,
+    cfg: ModelConfig,
+    k: int,
+    *,
+    exclude: Optional[jnp.ndarray] = None,
+    use_kernel: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device top-k of precomputed queries [B, d] against precomputed
+    catalog embeddings [R, d] (rows aligned with item ids; pad rows beyond
+    ``cfg.n_items`` allowed). Returns (scores [B, k], ids [B, k]); ``exclude``
+    [B, E] masks per-user ids (0 entries are no-ops)."""
+    e = catalog_in_decoder_space(e, cfg)
+    ids = jnp.arange(e.shape[0], dtype=jnp.int32)
+    if use_kernel:
+        kk = min(k + (exclude.shape[1] if exclude is not None else 0),
+                 e.shape[0])
+        from carca_tpu.ops.retrieval_topk import catalog_topk
+        v, rid = catalog_topk(q, e, kk, n_items=cfg.n_items)
+        if exclude is None:
+            return v, rid
+        hit = jnp.any(rid[:, :, None] == exclude[:, None, :], axis=-1)
+        v = jnp.where(hit, NEG_INF, v)
+        v, sel = jax.lax.top_k(v, k)
+        return v, jnp.take_along_axis(rid, sel, axis=1)
+    s = _masked_scores(q, e, jnp.where(ids < cfg.n_items, ids, 0), exclude)
+    return jax.lax.top_k(s, k)
 
 
 def full_catalog_topk(
@@ -171,15 +219,12 @@ def full_catalog_topk(
         return v, jnp.take_along_axis(ids, sel, axis=1)
 
     if mesh is None or mesh.shape.get("model", 1) == 1:
-        ids = jnp.arange(attrs_table.shape[0], dtype=jnp.int32)
         e = catalog_emb if catalog_emb is not None else embed_catalog(
-            params, cfg, attrs_table, ctx, global_ids=ids)
-        if use_kernel:
-            from carca_tpu.ops.retrieval_topk import catalog_topk
-            v, rid = catalog_topk(q, e, kk, n_items=cfg.n_items)
-            return drop_excluded(v, rid)
-        s = _masked_scores(q, e, jnp.where(ids < cfg.n_items, ids, 0), exclude)
-        return jax.lax.top_k(s, k)
+            params, cfg, attrs_table, ctx,
+            global_ids=jnp.arange(attrs_table.shape[0], dtype=jnp.int32))
+        return topk_given_queries(
+            q, e, cfg, k, exclude=exclude if had_exclude else None,
+            use_kernel=use_kernel)
 
     has_items = "items" in params["embed"]
     items_table = params["embed"]["items"] if has_items else attrs_table[:, :1]
@@ -188,9 +233,9 @@ def full_catalog_topk(
         rows = attrs_shard.shape[0]
         lo = jax.lax.axis_index("model") * rows
         gids = (lo + jnp.arange(rows, dtype=jnp.int32))
-        e = embed_catalog(
+        e = catalog_in_decoder_space(embed_catalog(
             params, cfg, attrs_shard, ctx,
-            table_rows=items_shard if has_items else None, global_ids=gids)
+            table_rows=items_shard if has_items else None, global_ids=gids), cfg)
         if use_kernel:
             from carca_tpu.ops.retrieval_topk import catalog_topk
             v, cand_ids = catalog_topk(q, e, kk, n_items=cfg.n_items,

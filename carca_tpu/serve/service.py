@@ -1,0 +1,133 @@
+"""JSON-lines serving loop + latency bench (``carca-serve``).
+
+Dependency-free process-level serving: requests arrive one JSON object per
+stdin line, responses leave one JSON object per stdout line — the shape
+that slots behind any RPC front-end (or a shell pipe) without pulling a web
+framework into the training image.
+
+Request:  {"history": [item_id, ...], "k": 10, "ctx": [...], "id": any}
+      or  {"user": <row>, ...}        (history looked up in the catalog)
+Response: {"items": [...], "scores": [...], "id": any}
+
+``--bench`` skips stdin and measures steady-state latency per batch bucket
+(p50/p95/p99 over ``--iters`` timed calls after warmup).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="carca-serve", description=__doc__)
+    p.add_argument("--run_dir", required=True,
+                   help="training output dir (args.json + ckpt/)")
+    p.add_argument("--which", choices=("best", "latest"), default="best")
+    p.add_argument("--data_dir", default="", help="catalog location "
+                   "(reference file formats); default: synthetic catalog "
+                   "regenerated from the run's data config")
+    p.add_argument("--profile_file", default="")
+    p.add_argument("--attr_file", default="")
+    p.add_argument("--ctx_file", default="")
+    p.add_argument("--shortlist", type=int, default=512)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--no_exclude_history", action="store_true",
+                   help="allow already-seen items in results")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile all batch buckets before serving")
+    p.add_argument("--bench", action="store_true",
+                   help="measure latency instead of serving stdin")
+    p.add_argument("--iters", type=int, default=50)
+    return p
+
+
+def load_catalog_for_run(args, cfg):
+    if args.data_dir:
+        from carca_tpu.data.loaders import load_dataset
+        return load_dataset(args.data_dir, args.profile_file,
+                            args.attr_file, args.ctx_file)
+    from carca_tpu.data.synthetic import synthetic_catalog
+    d = cfg.data
+    return synthetic_catalog(n_users=d.synthetic_users,
+                             n_real_items=d.synthetic_items,
+                             seed=d.synthetic_seed)
+
+
+def _history(cat, user: int):
+    lo, hi = int(cat.offsets[user]), int(cat.offsets[user + 1])
+    return cat.items[lo:hi].tolist(), cat.ctx_vals[lo:hi]
+
+
+def run_bench(rec, cat, k: int, iters: int) -> None:
+    rng = np.random.default_rng(0)
+    for bb in rec.batch_buckets:
+        users = rng.integers(0, cat.n_users, size=bb)
+        hists, ctxs = zip(*(_history(cat, int(u)) for u in users))
+        rec.recommend(hists, k=k, ctxs=ctxs)  # compile + warm
+        lat = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            rec.recommend(hists, k=k, ctxs=ctxs)
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat = np.sort(np.asarray(lat))
+        pct = lambda p: float(lat[min(len(lat) - 1, int(p * len(lat)))])
+        print(json.dumps({
+            "batch": bb, "k": k,
+            "p50_ms": round(pct(0.50), 3),
+            "p95_ms": round(pct(0.95), 3),
+            "p99_ms": round(pct(0.99), 3),
+            "throughput_users_per_sec": round(bb / (pct(0.50) / 1e3), 1),
+        }))
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+    from carca_tpu.serve.recommender import (config_from_run_dir,
+                                             load_recommender)
+
+    cfg = config_from_run_dir(args.run_dir)
+    cat = load_catalog_for_run(args, cfg)
+    rec = load_recommender(
+        args.run_dir, cat.attrs, which=args.which,
+        shortlist=args.shortlist,
+        exclude_history=not args.no_exclude_history)
+    if args.warmup or args.bench:
+        rec.warmup(k=args.k)
+    if args.bench:
+        run_bench(rec, cat, args.k, args.iters)
+        return
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        req = None
+        try:
+            req = json.loads(line)
+            if "history" in req:
+                hist, ctx = req["history"], req.get("ctx")
+            else:
+                hist, ctx = _history(cat, int(req["user"]))
+            ids, scores = rec.recommend(
+                [hist], k=int(req.get("k", args.k)),
+                ctxs=[ctx] if ctx is not None else None,
+                request_ctx=(np.asarray(req["request_ctx"], np.float32)
+                             if "request_ctx" in req else None))
+            out = {"items": ids[0].tolist(),
+                   "scores": [round(float(s), 6) for s in scores[0]]}
+        except Exception as exc:  # malformed request must not kill the loop
+            out = {"error": f"{type(exc).__name__}: {exc}"}
+        if isinstance(req, dict) and "id" in req:
+            out["id"] = req["id"]
+        sys.stdout.write(json.dumps(out) + "\n")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -466,16 +466,26 @@ def fit(
     if state is None:
         state = create_train_state(jax.random.PRNGKey(tc.seed), mc, tc, tx)
 
-    if keeper is None and tc.checkpoint_resume:
+    # checkpoints are always written (the reference always saves its best
+    # model, src/train.py:117-124); tc.checkpoint_resume gates only whether
+    # a pre-existing latest/ state is restored
+    start_epoch = 1
+    if keeper is None:
         from carca_tpu.train.checkpoint import CheckpointKeeper
-        keeper = CheckpointKeeper(os.path.join(tc.out_dir, "ckpt"))
+        ckpt_dir = os.path.join(tc.out_dir, "ckpt")
+        if not tc.checkpoint_resume and os.path.isdir(ckpt_dir):
+            # fresh run: drop stale checkpoints, else the best-NDCG retention
+            # would compare against (and at test time reload) a prior run's
+            # weights (the reference likewise deletes old .pth files,
+            # src/train.py:117-124)
+            import shutil
+            shutil.rmtree(ckpt_dir)
+        keeper = CheckpointKeeper(ckpt_dir)
+    if tc.checkpoint_resume:
         restored = keeper.restore_latest(state)
-        start_epoch = 1
         if restored is not None:
             start_epoch = restored[0] + 1
             state = restored[1]
-    else:
-        start_epoch = 1
 
     attrs_table = jnp.asarray(catalog.attrs)
     if dd is not None:
