@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner_steps", type=int, default=8,
                    help="device-pipeline train/eval steps fused per dispatch "
                         "(lax.scan); 1 = one dispatch per step")
+    p.add_argument("--mesh", type=str, default="",
+                   help="multi-chip mesh shape, e.g. '8' (pure DP) or '4x2' "
+                        "(data x model; row-sharded tables with "
+                        "--shard_embeddings true)")
+    p.add_argument("--shard_embeddings", type=parse_bool, default=False,
+                   help="row-shard item/attr tables over the mesh 'model' axis")
+    p.add_argument("--device_sampling", type=parse_bool, default=False,
+                   help="sample train negatives on device (mesh path)")
     p.add_argument("--eval_retrieval", type=int, default=0,
                    help="after training, run full-catalog leave-one-out "
                         "retrieval eval at this top-k (dot/wdot decoders)")
@@ -106,18 +114,29 @@ _PRESET_OVERLAY = {
         "early_stop": "early_stop", "seed": "seed", "test": "test",
         "out_dir": "out_dir", "resume": "checkpoint_resume",
         "debug_nans": "debug_nans", "profile": "profile",
-        "inner_steps": "inner_steps",
+        "inner_steps": "inner_steps", "shard_embeddings": "shard_embeddings",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
         "synthetic_users": "synthetic_users",
         "synthetic_items": "synthetic_items",
+        "device_sampling": "device_sampling",
     },
     "model": {
         "use_pallas": "use_pallas", "compute_dtype": "compute_dtype",
         "remat": "remat",
     },
 }
+
+
+def parse_mesh(spec: str):
+    """'8' → ((8,), ('data',)); '4x2' → ((4, 2), ('data', 'model'))."""
+    if not spec:
+        return (), ("data",)
+    dims = tuple(int(d) for d in spec.lower().split("x"))
+    if len(dims) > 2 or any(d < 1 for d in dims):
+        raise ValueError(f"--mesh wants 'N' or 'NxM', got {spec!r}")
+    return dims, ("data", "model")[: len(dims)]
 
 
 def _overlay_cli_flags(cfg: Config, args) -> Config:
@@ -142,9 +161,18 @@ def _overlay_cli_flags(cfg: Config, args) -> Config:
 
 
 def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
+    import dataclasses
+
+    mesh_shape, mesh_axes = parse_mesh(args.mesh)
     if args.preset:
-        return _overlay_cli_flags(preset(args.preset, n_items, n_attrs, n_ctx),
-                                  args)
+        cfg = _overlay_cli_flags(preset(args.preset, n_items, n_attrs, n_ctx),
+                                 args)
+        if mesh_shape:
+            cfg = Config(model=cfg.model, data=cfg.data,
+                         train=dataclasses.replace(
+                             cfg.train, mesh_shape=mesh_shape,
+                             mesh_axes=mesh_axes))
+        return cfg
     mc = ModelConfig(
         n_items=n_items, n_attrs=n_attrs, n_ctx=n_ctx,
         d=args.d_dim, g=args.g_dim, seq_len=args.seq_len,
@@ -160,6 +188,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         data_dir=args.data_dir, profile_file=args.profile_file,
         attr_file=args.attr_file, ctx_file=args.ctx_file,
         use_native=args.use_native, device_pipeline=args.device_pipeline,
+        device_sampling=args.device_sampling,
         synthetic=args.synthetic,
         synthetic_users=args.synthetic_users,
         synthetic_items=args.synthetic_items,
@@ -173,6 +202,8 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         out_dir=args.out_dir, checkpoint_resume=args.resume,
         debug_nans=args.debug_nans, profile=args.profile,
         inner_steps=args.inner_steps,
+        mesh_shape=mesh_shape, mesh_axes=mesh_axes,
+        shard_embeddings=args.shard_embeddings,
     )
     return Config(model=mc, data=dc, train=tc)
 

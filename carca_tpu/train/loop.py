@@ -487,8 +487,39 @@ def fit(
             start_epoch = restored[0] + 1
             state = restored[1]
 
-    attrs_table = jnp.asarray(catalog.attrs)
-    if dd is not None:
+    # multi-chip: TrainConfig.mesh_shape builds the global mesh; the batch
+    # rides the 'data' axis (gradient psum by XLA SPMD), embedding tables
+    # are row-sharded over 'model' when shard_embeddings (SURVEY.md §2.3)
+    mesh = None
+    if tc.mesh_shape and int(np.prod(tc.mesh_shape)) > 1:
+        if dd is not None:
+            raise ValueError(
+                "device_pipeline and mesh_shape are mutually exclusive for "
+                "now — the HBM-resident pipeline is single-chip")
+        from carca_tpu.parallel.mesh import (make_mesh, pad_table_rows,
+                                             prepare_state_for_mesh)
+        mesh = make_mesh(tc.mesh_shape, tc.mesh_axes)
+        n_data = mesh.shape.get("data", 1)
+        if tc.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {tc.batch_size} not divisible by the data-axis "
+                f"size {n_data}")
+        shard_emb = tc.shard_embeddings and mesh.shape.get("model", 1) > 1
+        state = prepare_state_for_mesh(state, mesh, tx)
+        attrs_np = (pad_table_rows(catalog.attrs, mesh) if shard_emb
+                    else catalog.attrs)
+        attrs_table = jnp.asarray(attrs_np)
+    else:
+        attrs_table = jnp.asarray(catalog.attrs)
+    if mesh is not None:
+        from carca_tpu.parallel.step import (make_sharded_eval_step,
+                                             make_sharded_train_step)
+        train_step = make_sharded_train_step(
+            mc, tx, mesh, shard_embeddings=shard_emb,
+            device_negatives=cfg.data.device_sampling)
+        eval_step = make_sharded_eval_step(mc, tc.top_k, mesh,
+                                           shard_embeddings=shard_emb)
+    elif dd is not None:
         train_step = make_device_train_step(mc, tx)
         scanned_step = (make_scanned_device_train_step(mc, tx, tc.inner_steps)
                         if tc.inner_steps > 1 else None)

@@ -103,3 +103,26 @@ def test_preset_overlays_explicit_cli_flags():
     # no explicit flags → preset passes through unchanged
     args = build_parser().parse_args(["--preset", "beauty"])
     assert config_from_args(args, 100, 8, 4) == base
+
+
+def test_mesh_flag_parsing():
+    from carca_tpu.cli import parse_mesh
+
+    assert parse_mesh("") == ((), ("data",))
+    assert parse_mesh("8") == ((8,), ("data",))
+    assert parse_mesh("4x2") == ((4, 2), ("data", "model"))
+    with pytest.raises(ValueError):
+        parse_mesh("2x2x2")
+
+    a = _parse(["--mesh", "4x2", "--shard_embeddings", "true",
+                "--synthetic", "true"])
+    cfg = config_from_args(a, 100, 8, 4)
+    assert cfg.train.mesh_shape == (4, 2)
+    assert cfg.train.mesh_axes == ("data", "model")
+    assert cfg.train.shard_embeddings is True
+
+    # mesh overlays presets too
+    a = _parse(["--preset", "beauty", "--mesh", "8"])
+    cfg = config_from_args(a, 100, 8, 4)
+    assert cfg.train.mesh_shape == (8,)
+    assert cfg.model.d == 64  # preset shape untouched

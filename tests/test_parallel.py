@@ -158,3 +158,50 @@ def test_device_sample_negatives_domain_and_rejection():
     # deterministic under the same key
     negs2 = device_sample_negatives(rng, profile, n_items, 64, retries=16)
     np.testing.assert_array_equal(arr, np.asarray(negs2))
+
+
+def test_fit_through_mesh_path(tmp_path):
+    """End-to-end fit() with TrainConfig.mesh_shape: DP over 'data' +
+    row-sharded tables over 'model', vs the single-device fit on the same
+    catalog/seed. Same batches, same RNG threading — metrics agree to FP
+    noise (psum reduction order)."""
+    from carca_tpu.config import Config
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=96, n_real_items=60, seed=5)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=2, n_heads=2, dropout=0.0, decoder="ca")
+
+    def tc(out, **kw):
+        return TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
+                           out_dir=str(tmp_path / out), **kw)
+
+    _, m_single = fit(Config(model=mc, train=tc("single")), cat, log=False)
+    _, m_mesh = fit(Config(model=mc, train=tc(
+        "mesh", mesh_shape=(4, 2), mesh_axes=("data", "model"),
+        shard_embeddings=True)), cat, log=False)
+
+    for key in ("val_hr", "val_ndcg", "test_hr", "test_ndcg"):
+        assert np.isfinite(m_mesh[key])
+        np.testing.assert_allclose(m_mesh[key], m_single[key], atol=5e-3)
+
+
+def test_fit_mesh_rejects_bad_config(tmp_path):
+    from carca_tpu.config import Config, DataConfig
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=32, n_real_items=40, seed=1)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0)
+    bad = TrainConfig(batch_size=15, mesh_shape=(4, 2),
+                      mesh_axes=("data", "model"),
+                      out_dir=str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="divisible"):
+        fit(Config(model=mc, train=bad), cat, log=False)
+    both = TrainConfig(batch_size=16, mesh_shape=(8,),
+                       out_dir=str(tmp_path / "both"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fit(Config(model=mc, data=DataConfig(device_pipeline=True),
+                   train=both), cat, log=False)
