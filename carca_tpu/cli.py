@@ -121,6 +121,13 @@ _PRESET_OVERLAY = {
         "synthetic_users": "synthetic_users",
         "synthetic_items": "synthetic_items",
         "device_sampling": "device_sampling",
+        # the synthetic catalog must be reproducible from args.json alone
+        # (carca-serve regenerates it at load time), so the run seed flows
+        # into DataConfig.synthetic_seed too
+        "seed": "synthetic_seed",
+        "data_dir": "data_dir", "profile_file": "profile_file",
+        "attr_file": "attr_file", "ctx_file": "ctx_file",
+        "synthetic": "synthetic",
     },
     "model": {
         "use_pallas": "use_pallas", "compute_dtype": "compute_dtype",
@@ -192,6 +199,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         synthetic=args.synthetic,
         synthetic_users=args.synthetic_users,
         synthetic_items=args.synthetic_items,
+        synthetic_seed=args.seed,
     )
     tc = TrainConfig(
         lr=args.lr, lr_schedule=args.lr_schedule,
@@ -208,16 +216,20 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
     return Config(model=mc, data=dc, train=tc)
 
 
-def load_catalog(args):
-    if args.synthetic or (args.preset and "synthetic" in args.preset) or (
-            args.preset == "smoke") or not args.data_dir:
+def load_catalog(args, dc=None):
+    """Load the catalog the *resolved* DataConfig describes (presets carry
+    their own synthetic sizes; carca-serve must be able to regenerate the
+    identical catalog from args.json)."""
+    if dc is None:
+        dc = config_from_args(args, 0, 0, 0).data
+    if dc.synthetic or not dc.data_dir:
         from carca_tpu.data.synthetic import synthetic_catalog
         return synthetic_catalog(
-            n_users=args.synthetic_users, n_real_items=args.synthetic_items,
-            seed=args.seed)
+            n_users=dc.synthetic_users, n_real_items=dc.synthetic_items,
+            seed=dc.synthetic_seed)
     from carca_tpu.data.loaders import load_dataset
-    return load_dataset(args.data_dir, args.profile_file, args.attr_file,
-                        args.ctx_file)
+    return load_dataset(dc.data_dir, dc.profile_file, dc.attr_file,
+                        dc.ctx_file)
 
 
 def main(argv: Optional[list] = None) -> None:

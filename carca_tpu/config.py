@@ -192,12 +192,17 @@ def preset(name: str, n_items: int = 0, n_attrs: int = 0, n_ctx: int = 0) -> Con
         m = _beauty_like(n_items or 10_000_001, n_attrs or 64, n_ctx or 8,
                          d=128, n_blocks=2, seq_len=50, embedding="all",
                          decoder="dot", compute_dtype="bfloat16")
+        # single-chip runnable as-is (HBM-resident catalog + on-device
+        # sampling). On a pod slice, add `--mesh NxM --device_pipeline false`
+        # — the mesh path row-shards the tables (shard_embeddings below);
+        # device_pipeline and mesh are mutually exclusive in fit().
         return Config(
             model=m,
-            data=DataConfig(synthetic=True, device_sampling=True,
-                            device_pipeline=True),
-            train=TrainConfig(mesh_shape=(1, 8), mesh_axes=("data", "model"),
-                              shard_embeddings=True),
+            data=DataConfig(synthetic=True, synthetic_users=100_000,
+                            synthetic_items=10_000_000,
+                            device_sampling=True, device_pipeline=True),
+            train=TrainConfig(shard_embeddings=True,
+                              mesh_axes=("data", "model")),
         )
     if name == "smoke":  # tiny deterministic CPU config for tests
         m = _beauty_like(n_items or 101, n_attrs or 12, n_ctx or 4, d=16, g=32,

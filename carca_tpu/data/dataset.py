@@ -96,12 +96,22 @@ class BatchBuilder:
         p_evt = np.where(valid, off[:, None] + pi, 0)
         return p_evt, valid, alive, e, off
 
-    def train_batch(self, user_rows: np.ndarray, rng: np.random.Generator) -> Batch:
+    def train_batch(self, user_rows: np.ndarray, rng: np.random.Generator,
+                    *, negatives: bool = True) -> Batch:
+        """``negatives=False`` skips host negative sampling and returns
+        positive-only ``o_x``/``o_c`` of width [B, L] — for steps that
+        resample negatives on device (``make_sharded_train_step``'s
+        ``device_negatives``), so the dominant host cost and half the H2D
+        bytes disappear."""
+        if not negatives:
+            return self._train_batch_numpy(user_rows, rng, negatives=False)
         if self.native is not None:
             return self.native.train_batch(self, user_rows, rng)
         return self._train_batch_numpy(user_rows, rng)
 
-    def _train_batch_numpy(self, user_rows: np.ndarray, rng: np.random.Generator) -> Batch:
+    def _train_batch_numpy(self, user_rows: np.ndarray,
+                           rng: np.random.Generator,
+                           negatives: bool = True) -> Batch:
         cat, L = self.cat, self.L
         p_evt, valid, alive, _, _ = self._profile_slots(user_rows, "train")
 
@@ -111,6 +121,15 @@ class BatchBuilder:
 
         p_c = cat.ctx_vals[p_evt] * valid[..., None]
         o_pos_c = cat.ctx_vals[o_pos_evt] * valid[..., None]
+
+        if not negatives:
+            y = np.concatenate([(p_x > 0).astype(np.float32),
+                                np.zeros_like(p_x, dtype=np.float32)], axis=1)
+            return {
+                "p_x": p_x, "p_c": p_c.astype(np.float32),
+                "o_x": o_pos, "o_c": o_pos_c.astype(np.float32),
+                "y_true": y, "n_valid": np.int32(alive.sum()),
+            }
 
         counts = valid.sum(axis=1)
         packed = sample_negatives_batch(

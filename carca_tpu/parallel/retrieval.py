@@ -152,12 +152,20 @@ def topk_given_queries(
     *,
     exclude: Optional[jnp.ndarray] = None,
     use_kernel: bool = True,
+    in_decoder_space: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-device top-k of precomputed queries [B, d] against precomputed
     catalog embeddings [R, d] (rows aligned with item ids; pad rows beyond
     ``cfg.n_items`` allowed). Returns (scores [B, k], ids [B, k]); ``exclude``
-    [B, E] masks per-user ids (0 entries are no-ops)."""
-    e = catalog_in_decoder_space(e, cfg)
+    [B, E] masks per-user ids (0 entries are no-ops). Pass
+    ``in_decoder_space=True`` when ``e`` was already run through
+    ``catalog_in_decoder_space`` (serving pre-normalizes once at load time —
+    re-normalizing a 10M-row catalog per request is pure HBM waste)."""
+    if k > e.shape[0]:
+        raise ValueError(
+            f"top-k k={k} exceeds the catalog size {e.shape[0]}")
+    if not in_decoder_space:
+        e = catalog_in_decoder_space(e, cfg)
     ids = jnp.arange(e.shape[0], dtype=jnp.int32)
     if use_kernel:
         kk = min(k + (exclude.shape[1] if exclude is not None else 0),

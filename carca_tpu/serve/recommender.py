@@ -31,7 +31,6 @@ eval candidates sharing the held-out positive's context
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -118,16 +117,24 @@ class Recommender:
         self.default_ctx = (np.zeros((cfg.n_ctx,), np.float32)
                             if default_ctx is None
                             else np.asarray(default_ctx, np.float32))
-        # catalog embedded ONCE at load time (the item tower is
+        # catalog embedded (and moved into decoder score space — e.g. the
+        # wdot cosine normalization) ONCE at load time; the item tower is
         # query-independent at serving: candidates take the request ctx in
-        # the reranker; stage 1 uses the neutral ctx, standard two-tower)
+        # the reranker; stage 1 uses the neutral ctx, standard two-tower
+        from carca_tpu.parallel.retrieval import catalog_in_decoder_space
         self.catalog_emb = jax.jit(
-            lambda p, a: embed_catalog(p, cfg, a)
+            lambda p, a: catalog_in_decoder_space(embed_catalog(p, cfg, a),
+                                                  cfg)
         )(params, self.attrs)
         self._rerank = cfg.decoder == "ca"
+        # per-instance executable caches (a class-level lru_cache would pin
+        # retired Recommenders — params + HBM catalog — alive forever)
+        self._fns: Dict[int, callable] = {}
+        self._score_fns: Dict[int, callable] = {}
 
-    @functools.lru_cache(maxsize=None)
     def _compiled(self, k: int):
+        if k in self._fns:
+            return self._fns[k]
         cfg, shortlist, rerank = self.cfg, self.shortlist, self._rerank
         exclude = self.exclude_history
 
@@ -139,9 +146,12 @@ class Recommender:
             n1 = shortlist if rerank else k
             sv, sids = topk_given_queries(
                 q, catalog_emb, cfg, n1,
-                exclude=p_x if exclude else None)
+                exclude=p_x if exclude else None, in_decoder_space=True)
             if not rerank:
-                return _map_scores(sv, cfg), sids
+                # keep pad/exhausted slots at -inf (sigmoid would fold them
+                # to 0.0, indistinguishable from a real low score)
+                return jnp.where(jnp.isfinite(sv), _map_scores(sv, cfg),
+                                 NEG_INF), sids
             # stage 2: score the shortlist with the real decoder under the
             # request context (candidate attrs gathered on device)
             o_c = jnp.broadcast_to(req_ctx[:, None, :],
@@ -154,6 +164,7 @@ class Recommender:
             v, sel = jax.lax.top_k(y, k)
             return v, jnp.take_along_axis(sids, sel, axis=1)
 
+        self._fns[k] = fn
         return fn
 
     def _bucket(self, b: int) -> int:
@@ -177,8 +188,10 @@ class Recommender:
         scored under (default: the recommender's ``default_ctx``).
         """
         b = len(histories)
-        if k > self.shortlist and self._rerank:
+        if self._rerank and k > self.shortlist:
             raise ValueError(f"k={k} exceeds shortlist={self.shortlist}")
+        if k > self.cfg.n_items:
+            raise ValueError(f"k={k} exceeds the catalog ({self.cfg.n_items})")
         bb = self._bucket(b)
         p_x, p_c = pad_histories(histories, self.cfg.seq_len, ctxs,
                                  self.cfg.n_ctx)
@@ -223,8 +236,9 @@ class Recommender:
             jnp.asarray(rc))
         return np.asarray(y)[:b]
 
-    @functools.lru_cache(maxsize=None)
     def _score_compiled(self, n: int):
+        if n in self._score_fns:
+            return self._score_fns[n]
         cfg = self.cfg
 
         @jax.jit
@@ -237,6 +251,7 @@ class Recommender:
                                  [(cand, None, o_c)], train=False,
                                  attrs_table=attrs)
 
+        self._score_fns[n] = fn
         return fn
 
     def warmup(self, k: int = 10) -> None:

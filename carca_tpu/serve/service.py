@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--no_exclude_history", action="store_true",
                    help="allow already-seen items in results")
+    p.add_argument("--max_k", type=int, default=100,
+                   help="cap on per-request k (each distinct k compiles one "
+                        "executable; the cap bounds that)")
     p.add_argument("--warmup", action="store_true",
                    help="compile all batch buckets before serving")
     p.add_argument("--bench", action="store_true",
@@ -114,13 +117,18 @@ def main(argv: Optional[list] = None) -> None:
                 hist, ctx = req["history"], req.get("ctx")
             else:
                 hist, ctx = _history(cat, int(req["user"]))
+            k = max(1, min(int(req.get("k", args.k)), args.max_k))
             ids, scores = rec.recommend(
-                [hist], k=int(req.get("k", args.k)),
+                [hist], k=k,
                 ctxs=[ctx] if ctx is not None else None,
                 request_ctx=(np.asarray(req["request_ctx"], np.float32)
                              if "request_ctx" in req else None))
-            out = {"items": ids[0].tolist(),
-                   "scores": [round(float(s), 6) for s in scores[0]]}
+            # padded/exhausted slots carry -inf, which is not valid JSON —
+            # drop them (fewer than k finite candidates is a real outcome
+            # on small catalogs / heavy history exclusion)
+            keep = np.isfinite(scores[0])
+            out = {"items": ids[0][keep].tolist(),
+                   "scores": [round(float(s), 6) for s in scores[0][keep]]}
         except Exception as exc:  # malformed request must not kill the loop
             out = {"error": f"{type(exc).__name__}: {exc}"}
         if isinstance(req, dict) and "id" in req:

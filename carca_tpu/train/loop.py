@@ -466,30 +466,12 @@ def fit(
     if state is None:
         state = create_train_state(jax.random.PRNGKey(tc.seed), mc, tc, tx)
 
-    # checkpoints are always written (the reference always saves its best
-    # model, src/train.py:117-124); tc.checkpoint_resume gates only whether
-    # a pre-existing latest/ state is restored
-    start_epoch = 1
-    if keeper is None:
-        from carca_tpu.train.checkpoint import CheckpointKeeper
-        ckpt_dir = os.path.join(tc.out_dir, "ckpt")
-        if not tc.checkpoint_resume and os.path.isdir(ckpt_dir):
-            # fresh run: drop stale checkpoints, else the best-NDCG retention
-            # would compare against (and at test time reload) a prior run's
-            # weights (the reference likewise deletes old .pth files,
-            # src/train.py:117-124)
-            import shutil
-            shutil.rmtree(ckpt_dir)
-        keeper = CheckpointKeeper(ckpt_dir)
-    if tc.checkpoint_resume:
-        restored = keeper.restore_latest(state)
-        if restored is not None:
-            start_epoch = restored[0] + 1
-            state = restored[1]
-
     # multi-chip: TrainConfig.mesh_shape builds the global mesh; the batch
     # rides the 'data' axis (gradient psum by XLA SPMD), embedding tables
-    # are row-sharded over 'model' when shard_embeddings (SURVEY.md §2.3)
+    # are row-sharded over 'model' when shard_embeddings (SURVEY.md §2.3).
+    # Mesh prep runs BEFORE checkpoint restore so the restore template
+    # already carries the padded/sharded table shapes (and the restored
+    # optimizer moments are kept — prepare_state_for_mesh re-inits them).
     mesh = None
     if tc.mesh_shape and int(np.prod(tc.mesh_shape)) > 1:
         if dd is not None:
@@ -511,6 +493,33 @@ def fit(
         attrs_table = jnp.asarray(attrs_np)
     else:
         attrs_table = jnp.asarray(catalog.attrs)
+
+    # checkpoints are always written (the reference always saves its best
+    # model, src/train.py:117-124); tc.checkpoint_resume gates only whether
+    # a pre-existing latest/ state is restored
+    start_epoch = 1
+    if keeper is None:
+        from carca_tpu.train.checkpoint import CheckpointKeeper
+        ckpt_dir = os.path.join(tc.out_dir, "ckpt")
+        if not tc.checkpoint_resume and os.path.isdir(ckpt_dir):
+            # fresh run: drop stale checkpoints, else the best-NDCG retention
+            # would compare against (and at test time reload) a prior run's
+            # weights (the reference likewise deletes old .pth files,
+            # src/train.py:117-124)
+            import shutil
+            shutil.rmtree(ckpt_dir)
+        keeper = CheckpointKeeper(ckpt_dir)
+    if tc.checkpoint_resume:
+        restored = keeper.restore_latest(state)
+        if restored is not None:
+            start_epoch = restored[0] + 1
+            state = restored[1]
+            if mesh is not None:
+                # orbax restores host-committed arrays; re-establish the
+                # mesh shardings (the donated pjit args require them)
+                from carca_tpu.parallel.mesh import param_shardings
+                state = jax.device_put(
+                    state, param_shardings(state, mesh, shard_emb))
     if mesh is not None:
         from carca_tpu.parallel.step import (make_sharded_eval_step,
                                              make_sharded_train_step)
@@ -557,9 +566,12 @@ def fit(
         losses = []  # device scalars; read after the epoch (no per-step sync)
 
         def produce():
+            # the sharded step with on-device sampling ignores the negative
+            # half; skip the host sampler and halve the shipped o-arrays
+            host_negs = not (mesh is not None and cfg.data.device_sampling)
             for rows in epoch_batches(train_users, tc.batch_size, ep_rng,
                                       shuffle=True):
-                b = builder.train_batch(rows, ep_rng)
+                b = builder.train_batch(rows, ep_rng, negatives=host_negs)
                 yield int(b.pop("n_valid")), b
 
         profiling = tc.profile and epoch == start_epoch + 1  # skip compile epoch

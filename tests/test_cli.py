@@ -126,3 +126,27 @@ def test_mesh_flag_parsing():
     cfg = config_from_args(a, 100, 8, 4)
     assert cfg.train.mesh_shape == (8,)
     assert cfg.model.d == 64  # preset shape untouched
+
+
+def test_catalog_reproducible_from_resolved_data_config():
+    """The serving loop regenerates the catalog from args.json, so the run
+    seed must flow into DataConfig.synthetic_seed and load_catalog must
+    honor the *resolved* (preset-aware) data config."""
+    a = _parse(["--synthetic", "true", "--seed", "5",
+                "--synthetic_users", "30", "--synthetic_items", "25"])
+    cfg = config_from_args(a, 0, 0, 0)
+    assert cfg.data.synthetic_seed == 5
+    cat1 = load_catalog(a)
+    from carca_tpu.data.synthetic import synthetic_catalog
+    cat2 = synthetic_catalog(n_users=30, n_real_items=25, seed=5)
+    np.testing.assert_array_equal(cat1.items, cat2.items)
+    np.testing.assert_array_equal(cat1.attrs, cat2.attrs)
+
+    # presets carry their own synthetic sizes; load_catalog must use them
+    a = _parse(["--preset", "smoke"])
+    cat = load_catalog(a)
+    assert cat.n_users == 200 and cat.n_items == 101
+
+    # the at-scale preset must not trip fit()'s device_pipeline/mesh guard
+    cfg = preset("synthetic10m")
+    assert not (cfg.data.device_pipeline and cfg.train.mesh_shape)

@@ -164,3 +164,21 @@ def test_prefetch_yields_all_and_propagates_errors():
     except RuntimeError as e:
         raised = "producer failed" in str(e)
     assert raised and out == [1]
+
+
+def test_train_batch_without_host_negatives():
+    """negatives=False (device-resampling steps): positive-only o arrays of
+    width L, full [B, 2L] labels, and no sampler work."""
+    from carca_tpu.data.synthetic import synthetic_catalog
+
+    cat = synthetic_catalog(n_users=24, n_real_items=40, seed=2)
+    b = BatchBuilder(cat, 8, 12, test=True)
+    rows = b.users("train")[:6]
+    rng = np.random.default_rng(0)
+    full = b.train_batch(rows.copy(), np.random.default_rng(0))
+    lean = b.train_batch(rows.copy(), rng, negatives=False)
+    assert lean["o_x"].shape == (6, 8) and lean["o_c"].shape[1] == 8
+    assert lean["y_true"].shape == (6, 16)
+    np.testing.assert_array_equal(lean["p_x"], full["p_x"])
+    np.testing.assert_array_equal(lean["o_x"], full["o_x"][:, :8])
+    np.testing.assert_array_equal(lean["y_true"], full["y_true"])

@@ -205,3 +205,29 @@ def test_fit_mesh_rejects_bad_config(tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         fit(Config(model=mc, data=DataConfig(device_pipeline=True),
                    train=both), cat, log=False)
+
+
+def test_fit_mesh_resume_and_device_sampling(tmp_path):
+    """Mesh run with on-device negatives + resume: the restore template must
+    carry the padded/sharded shapes (prepare-before-restore ordering)."""
+    from carca_tpu.config import Config, DataConfig
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=96, n_real_items=59, seed=7)  # 60 % 2 = 0 pads
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="ca")
+    dc = DataConfig(device_sampling=True)
+
+    def tc(epochs):
+        return TrainConfig(batch_size=16, epochs=epochs, early_stop=50,
+                           seed=0, out_dir=str(tmp_path / "run"),
+                           mesh_shape=(4, 2), mesh_axes=("data", "model"),
+                           shard_embeddings=True)
+
+    _, m1 = fit(Config(model=mc, data=dc, train=tc(2)), cat, log=False)
+    assert np.isfinite(m1["val_ndcg"])
+    # resume into 2 more epochs from the sharded checkpoint
+    _, m2 = fit(Config(model=mc, data=dc, train=tc(4)), cat, log=False)
+    assert m2["epochs_run"] == 4
+    assert np.isfinite(m2["val_ndcg"])

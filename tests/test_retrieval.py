@@ -162,3 +162,19 @@ def test_evaluate_retrieval_end_to_end(tmp_path):
         d=16, g=32, seq_len=6, decoder="ca"))
     with _pytest.raises(ValueError):
         evaluate_retrieval(cfg_ca, cat, state.params)
+
+
+def test_topk_rejects_k_beyond_catalog(setup):
+    mc, params, profile, attrs = setup
+    from carca_tpu.parallel.retrieval import (catalog_in_decoder_space,
+                                              queries, topk_given_queries)
+    q = queries(params, mc, profile, attrs)
+    e = embed_catalog(params, mc, attrs)
+    with pytest.raises(ValueError, match="exceeds the catalog"):
+        topk_given_queries(q, e, mc, e.shape[0] + 1)
+    # a pre-normalized catalog (serving path) must rank identically
+    v1, i1 = topk_given_queries(q, e, mc, 5)
+    v2, i2 = topk_given_queries(q, catalog_in_decoder_space(e, mc), mc, 5,
+                                in_decoder_space=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)

@@ -168,3 +168,21 @@ def test_service_request_shapes(cat, tmp_path, monkeypatch, capsys):
     assert len(lines[0]["items"]) == 4 and lines[0]["id"] == "a"
     assert len(lines[1]["items"]) == 3 and lines[1]["id"] == "b"
     assert "error" in lines[2]
+
+
+def test_small_catalog_pad_slots_and_k_validation(cat):
+    """Requests near the catalog size: pad/excluded slots come back -inf
+    (not sigmoid(-inf)=0), oversized k raises, and the service loop never
+    emits non-JSON -Infinity."""
+    mc = make_model("dot", cat)
+    params = carca_init(jax.random.PRNGKey(3), mc)
+    rec = Recommender(params, mc, cat.attrs, batch_buckets=(1,))
+    hist = histories_of(cat, [0])[0]
+    k = N_ITEMS - 2  # > n_valid_items - |history| - pad → -inf tail
+    ids, scores = rec.recommend([hist], k=k)
+    assert not np.isfinite(scores[0][-1])
+    finite = np.isfinite(scores[0])
+    window = np.asarray(hist[-mc.seq_len:])  # visible-window exclusion
+    assert not np.isin(ids[0][finite], window).any()
+    with pytest.raises(ValueError, match="exceeds the catalog"):
+        rec.recommend([hist], k=N_ITEMS + 5)
