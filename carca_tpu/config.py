@@ -60,6 +60,11 @@ class ModelConfig:
     # split overhead dominates); the fused kernel wins at long sequences.
     use_pallas: Any = "auto"
     remat: bool = False  # jax.checkpoint the encoder stack (HBM for FLOPs)
+    # Lane-pack sub-128-wide embedding tables ([n, d] → [⌈n/p⌉, p·d],
+    # p = 128/d) so big tables (and their Adam moments) don't pay the
+    # (8, 128) tile padding: True | False | "auto" (pack only ≥1M-row
+    # tables). See ops/packed_table.py.
+    pack_tables: Any = "auto"
 
     def __post_init__(self) -> None:
         if self.embedding not in EMBEDDINGS:
@@ -73,6 +78,9 @@ class ModelConfig:
         if self.use_pallas not in (True, False, "auto"):
             raise ValueError(
                 f"use_pallas must be True, False, or 'auto'; got {self.use_pallas!r}")
+        if self.pack_tables not in (True, False, "auto"):
+            raise ValueError(
+                f"pack_tables must be True, False, or 'auto'; got {self.pack_tables!r}")
 
     @property
     def head_dim(self) -> int:
@@ -189,8 +197,11 @@ def preset(name: str, n_items: int = 0, n_attrs: int = 0, n_ctx: int = 0) -> Con
                          embedding="all", decoder="ca")
         return Config(model=m)
     if name == "synthetic10m":  # configs[4]: sharded tables, full-catalog scoring
+        # d=64 is the single-chip-feasible shape: the 10M-row table + its
+        # Adam moments are 3 x 2.56 GB in f32, ~10 GB/step with attrs and
+        # activations (v5e has 16 GB HBM; d=128 needs ~20 GB → pod-only)
         m = _beauty_like(n_items or 10_000_001, n_attrs or 64, n_ctx or 8,
-                         d=128, n_blocks=2, seq_len=50, embedding="all",
+                         d=64, n_blocks=2, seq_len=50, embedding="all",
                          decoder="dot", compute_dtype="bfloat16")
         # single-chip runnable as-is (HBM-resident catalog + on-device
         # sampling). On a pod slice, add `--mesh NxM --device_pipeline false`

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 
 from carca_tpu.config import ModelConfig
 from carca_tpu.models import encodings, layers
+from carca_tpu.ops.packed_table import (lookup_maybe_packed, pack_factor,
+                                        pack_rows)
 from carca_tpu.utils.initializers import embedding_init as table_init
 
 Params = Dict[str, jnp.ndarray]
@@ -39,6 +41,12 @@ Lookup = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 def _default_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(table, ids, axis=0)
+
+
+def item_table_width(cfg: ModelConfig) -> int:
+    """Logical row width of ``params['embed']['items']`` (mlpid uses a
+    g-dim table, src/carca.py:180)."""
+    return cfg.g if cfg.embedding == "mlpid" else cfg.d
 
 
 def embedding_init(key: jax.Array, cfg: ModelConfig) -> Params:
@@ -64,6 +72,12 @@ def embedding_init(key: jax.Array, cfg: ModelConfig) -> Params:
         params["feats"] = layers.dense_init(k_feats, cfg.g, cfg.d)
     else:
         raise ValueError(f"unknown embedding kind {kind!r}")
+    if "items" in params:
+        # lane-pack big sub-128-wide tables (storage-only change; lookups
+        # dispatch on the stored width — see ops/packed_table.py)
+        p = pack_factor(item_table_width(cfg), cfg.n_items, cfg.pack_tables)
+        if p > 1:
+            params["items"] = pack_rows(params["items"], p)
     return params
 
 
@@ -89,17 +103,20 @@ def embedding_apply(
     cd = jnp.dtype(cfg.compute_dtype)
     scale = math.sqrt(cfg.d)
 
+    def items(width: int) -> jnp.ndarray:
+        return lookup_maybe_packed(lookup, params["items"], x, width)
+
     def attrs() -> jnp.ndarray:
         if a is not None:
             return a
         if attrs_table is None:
             raise ValueError("need either explicit attrs `a` or an `attrs_table` catalog")
-        return lookup(attrs_table, x)
+        return lookup_maybe_packed(lookup, attrs_table, x, cfg.n_attrs)
 
     if kind == "all":
         # src/carca.py:85-95
         q = layers.dense(params["feats"], jnp.concatenate([attrs(), c], axis=-1), cd)
-        z = lookup(params["items"], x) * scale
+        z = items(cfg.d) * scale
         e = layers.dense(params["joint"], jnp.concatenate([z, q], axis=-1), cd)
     elif kind == "attrctx":
         # src/carca.py:114-122
@@ -111,10 +128,10 @@ def embedding_apply(
         e = layers.dense(params["joint"], q, cd)
     elif kind == "id":
         # src/carca.py:163-171
-        e = lookup(params["items"], x) * scale
+        e = items(cfg.d) * scale
     elif kind == "mlpid":
         # src/carca.py:189-198 — note the √d scale (not √g) on the g-dim table
-        e = lookup(params["items"], x) * scale
+        e = items(cfg.g) * scale
         e = layers.dense(params["feats"], e, cd)
     else:
         raise ValueError(f"unknown embedding kind {kind!r}")

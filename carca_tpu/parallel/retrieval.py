@@ -236,6 +236,21 @@ def full_catalog_topk(
 
     has_items = "items" in params["embed"]
     items_table = params["embed"]["items"] if has_items else attrs_table[:, :1]
+    if has_items:
+        # lane-packed tables (ops/packed_table.py) are row-aligned to the
+        # pack factor, not to the attrs shards — unpack (a reshape) and
+        # re-align row counts so both tables shard identically
+        from carca_tpu.models.embeddings import item_table_width
+        from carca_tpu.ops.packed_table import unpack_rows
+        w = item_table_width(cfg)
+        if items_table.shape[-1] != w:
+            items_table = unpack_rows(items_table, w)
+        r = attrs_table.shape[0]
+        if items_table.shape[0] > r:
+            items_table = items_table[:r]
+        elif items_table.shape[0] < r:
+            items_table = jnp.pad(
+                items_table, ((0, r - items_table.shape[0]), (0, 0)))
 
     def local(attrs_shard, items_shard, q, exclude):
         rows = attrs_shard.shape[0]
