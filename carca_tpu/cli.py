@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="row-shard item/attr tables over the mesh 'model' axis")
     p.add_argument("--device_sampling", type=parse_bool, default=False,
                    help="sample train negatives on device (mesh path)")
+    p.add_argument("--checkpoint_interval", type=int, default=1,
+                   help="refresh the latest/ resume checkpoint every N "
+                        "non-improving epochs (best/ always saves on "
+                        "improvement); >1 cuts IO at large state sizes")
     p.add_argument("--eval_retrieval", type=int, default=0,
                    help="after training, run full-catalog leave-one-out "
                         "retrieval eval at this top-k (dot/wdot decoders)")
@@ -115,6 +119,7 @@ _PRESET_OVERLAY = {
         "out_dir": "out_dir", "resume": "checkpoint_resume",
         "debug_nans": "debug_nans", "profile": "profile",
         "inner_steps": "inner_steps", "shard_embeddings": "shard_embeddings",
+        "checkpoint_interval": "checkpoint_interval",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
@@ -210,6 +215,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         out_dir=args.out_dir, checkpoint_resume=args.resume,
         debug_nans=args.debug_nans, profile=args.profile,
         inner_steps=args.inner_steps,
+        checkpoint_interval=args.checkpoint_interval,
         mesh_shape=mesh_shape, mesh_axes=mesh_axes,
         shard_embeddings=args.shard_embeddings,
     )
@@ -223,7 +229,15 @@ def load_catalog(args, dc=None):
     if dc is None:
         dc = config_from_args(args, 0, 0, 0).data
     if dc.synthetic or not dc.data_dir:
-        from carca_tpu.data.synthetic import synthetic_catalog
+        from carca_tpu.data.synthetic import (synthetic_catalog,
+                                              synthetic_catalog_device)
+        if dc.device_pipeline:
+            # HBM-resident pipeline → generate the catalog in HBM too;
+            # the host variant would ship O(GB) of attrs/ctx through the
+            # host→device link first (see synthetic_catalog_device)
+            return synthetic_catalog_device(
+                n_users=dc.synthetic_users, n_real_items=dc.synthetic_items,
+                seed=dc.synthetic_seed)
         return synthetic_catalog(
             n_users=dc.synthetic_users, n_real_items=dc.synthetic_items,
             seed=dc.synthetic_seed)

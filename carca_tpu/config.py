@@ -149,6 +149,10 @@ class TrainConfig:
     profile: bool = False  # jax.profiler trace annotations
     debug_nans: bool = False  # jax_debug_nans (SURVEY §5 race/NaN checks)
     checkpoint_resume: bool = True
+    # refresh the latest/ resume checkpoint every N non-improving epochs
+    # (best/ still saves on every improvement); >1 trades resume granularity
+    # for IO at large state sizes (the 10M-item state is ~5 GB/epoch)
+    checkpoint_interval: int = 1
 
 
 @dataclass(frozen=True)
@@ -213,7 +217,10 @@ def preset(name: str, n_items: int = 0, n_attrs: int = 0, n_ctx: int = 0) -> Con
                             synthetic_items=10_000_000,
                             device_sampling=True, device_pipeline=True),
             train=TrainConfig(shard_embeddings=True,
-                              mesh_axes=("data", "model")),
+                              mesh_axes=("data", "model"),
+                              # full-state resume snapshots are ~5 GB at
+                              # this scale; refresh every 10 epochs
+                              checkpoint_interval=10),
         )
     if name == "smoke":  # tiny deterministic CPU config for tests
         m = _beauty_like(n_items or 101, n_attrs or 12, n_ctx or 4, d=16, g=32,

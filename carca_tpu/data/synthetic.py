@@ -55,6 +55,61 @@ def synthetic_catalog(
     )
 
 
+def synthetic_catalog_device(
+    n_users: int = 2000,
+    n_real_items: int = 1000,
+    n_attrs: int = 12,
+    n_ctx: int = 4,
+    min_len: int = 4,
+    max_len: int = 30,
+    seed: int = 0,
+) -> Catalog:
+    """``synthetic_catalog`` with the big arrays generated ON the
+    accelerator.
+
+    The host variant materializes attrs ``[n_items+1, A]`` and per-event
+    context in host RAM and ships them to HBM — for the 10M-item preset
+    that is ~0.5–2.6 GB of host→device traffic before the first step.
+    Here only the ``[n_users+1]`` CSR offsets cross the boundary; attrs,
+    items, and contexts come out of the TPU's hardware PRNG directly in
+    HBM. Item popularity uses the continuous Zipf(1) inverse CDF
+    (``exp(u·ln n)``) rather than numpy's exact discrete draw — the same
+    1/rank shape, different PRNG stream, so the numpy generator remains
+    the deterministic golden source for tests.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(min_len, max_len + 1, size=n_users)
+    offsets = np.zeros(n_users + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    n_events = int(offsets[-1])
+
+    k_items, k_ctx, k_attrs = jax.random.split(jax.random.PRNGKey(seed), 3)
+
+    @jax.jit
+    def gen():
+        u = jax.random.uniform(k_items, (n_events,), jnp.float32)
+        items = jnp.clip(
+            jnp.exp(u * jnp.log(float(n_real_items))).astype(jnp.int32),
+            1, n_real_items)
+        ctx_vals = jax.random.normal(k_ctx, (n_events, n_ctx), jnp.float32)
+        attrs = jax.random.normal(
+            k_attrs, (n_real_items + 1, n_attrs), jnp.float32)
+        attrs = attrs.at[0].set(0.0)  # pad row (src/data.py:33-34)
+        return items, ctx_vals, attrs
+
+    items, ctx_vals, attrs = gen()
+    return Catalog(
+        attrs=attrs,
+        user_ids=np.arange(n_users, dtype=np.int64),
+        items=items,
+        offsets=offsets,
+        ctx_vals=ctx_vals,
+    )
+
+
 def write_reference_format(cat: Catalog, out_dir: str, dedup_ctx: bool = True) -> None:
     """Dump a Catalog in the reference's file formats.
 

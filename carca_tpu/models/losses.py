@@ -21,7 +21,15 @@ def masked_bce(
 ) -> jnp.ndarray:
     y_pred = y_pred.astype(jnp.float32)
     y_true = y_true.astype(jnp.float32)
-    loss = -(y_true * jnp.log(y_pred + eps) + (1.0 - y_true) * jnp.log(1.0 - y_pred + eps))
+    # The naive log(1 − ŷ + eps) is NOT safe under jit: XLA reassociates
+    # it to (1 + eps) − ŷ, and in f32 1 + 1e−8 rounds back to 1, so a
+    # sigmoid saturated to exactly 1.0 (routine with unnormalized dot
+    # logits over large catalogs) yields log(0) = −inf and NaN grads.
+    # maximum() pins the subtraction to ≥ 0 and blocks reassociation
+    # across it; values match the reference formula to f32 rounding
+    # everywhere the reference itself is finite.
+    loss = -(y_true * jnp.log(y_pred + eps)
+             + (1.0 - y_true) * jnp.log(jnp.maximum(1.0 - y_pred, 0.0) + eps))
     # guarded denominator: an all-masked batch yields 0, not NaN (the
     # reference NaNs there; reachable only via batch padding here)
     return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), eps)

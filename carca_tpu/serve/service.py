@@ -55,11 +55,15 @@ def load_catalog_for_run(args, cfg):
         from carca_tpu.data.loaders import load_dataset
         return load_dataset(args.data_dir, args.profile_file,
                             args.attr_file, args.ctx_file)
-    from carca_tpu.data.synthetic import synthetic_catalog
+    from carca_tpu.data.synthetic import (synthetic_catalog,
+                                          synthetic_catalog_device)
     d = cfg.data
-    return synthetic_catalog(n_users=d.synthetic_users,
-                             n_real_items=d.synthetic_items,
-                             seed=d.synthetic_seed)
+    # a device_pipeline training run generated its catalog with the device
+    # PRNG (cli.load_catalog) — regenerate with the same generator or the
+    # served attrs/contexts won't match the trained tables
+    gen = synthetic_catalog_device if d.device_pipeline else synthetic_catalog
+    return gen(n_users=d.synthetic_users, n_real_items=d.synthetic_items,
+               seed=d.synthetic_seed)
 
 
 def _history(cat, user: int):

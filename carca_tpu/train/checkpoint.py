@@ -4,10 +4,19 @@ The reference keeps only a whole-module pickle of the best-val-NDCG model,
 deleting prior files (``src/train.py:117-124``), and cannot resume training
 (no optimizer/RNG state). Here:
 
-* ``best/`` — best-val-NDCG full state, max_to_keep=1 (the reference's
-  retention policy, kept as a feature);
-* ``latest/`` — every-epoch full state (params + optimizer moments + PRNG +
-  step) for crash-resume (SURVEY.md §5).
+* ``best/`` — best-val-NDCG **params only**, max_to_keep=1 (the
+  reference's retention policy kept as a feature; its ``.pth`` pickle is
+  likewise weights-only — final test eval needs no optimizer moments, and
+  params are ~1/3 the bytes of the full state at large table sizes);
+* ``latest/`` — rolling full state (params + optimizer moments + PRNG +
+  step) for crash-resume (SURVEY.md §5), refreshed every
+  ``TrainConfig.checkpoint_interval`` epochs.
+
+Saves are **asynchronous**: ``save``/``save_latest`` block only for the
+device→host snapshot, then return while orbax streams to storage in a
+background thread — the next epoch's forward/backward overlaps the write.
+Each manager waits for its own previous in-flight save first, so back-to-
+back epochs never race on the same directory.
 """
 
 from __future__ import annotations
@@ -37,32 +46,42 @@ class CheckpointKeeper:
         )
 
     def save(self, epoch: int, state: Any, metrics: Dict[str, float]) -> None:
-        args = ocp.args.StandardSave(state)
-        self._best.save(epoch, args=args, metrics=dict(metrics))
-        self._latest.save(epoch, args=args, metrics=dict(metrics))
+        """Best-val-NDCG save (improving epochs): params only."""
         self._best.wait_until_finished()
-        self._latest.wait_until_finished()
+        self._best.save(epoch, args=ocp.args.StandardSave(state.params),
+                        metrics=dict(metrics))
 
     def save_latest(self, epoch: int, state: Any) -> None:
         """Refresh only the resume checkpoint (non-improving epochs)."""
+        self._latest.wait_until_finished()
         self._latest.save(epoch, args=ocp.args.StandardSave(state))
+
+    def _wait(self) -> None:
+        self._best.wait_until_finished()
         self._latest.wait_until_finished()
 
     def restore_latest(self, template: Any) -> Optional[Tuple[int, Any]]:
+        self._wait()
         step = self._latest.latest_step()
         if step is None:
             return None
-        state = self._latest.restore(step, args=ocp.args.StandardRestore(template))
+        state = self._latest.restore(
+            step, args=ocp.args.StandardRestore(template))
         return step, state
 
     def restore_best(self, template: Any) -> Optional[Tuple[int, Any]]:
+        """Best params restored into ``template``'s (state's) params slot —
+        the returned object is a full state with the best weights."""
+        self._wait()
         step = self._best.best_step()
         if step is None:
             return None
-        state = self._best.restore(step, args=ocp.args.StandardRestore(template))
-        return step, state
+        params = self._best.restore(
+            step, args=ocp.args.StandardRestore(template.params))
+        return step, template.replace(params=params)
 
     def best_metrics(self) -> Optional[Dict[str, float]]:
+        self._best.wait_until_finished()
         step = self._best.best_step()
         if step is None:
             return None
@@ -70,5 +89,6 @@ class CheckpointKeeper:
         return dict(metrics) if metrics is not None else None
 
     def close(self) -> None:
+        self._wait()
         self._best.close()
         self._latest.close()

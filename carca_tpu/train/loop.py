@@ -556,6 +556,7 @@ def fit(
 
     best = keeper.best_metrics()["ndcg"] if (keeper and keeper.best_metrics()) else 0.0
     no_improve = 0
+    best_in_memory = -1  # epoch whose improving save still matches `state`
     final: Dict[str, float] = {}
     epoch = start_epoch - 1
 
@@ -640,12 +641,15 @@ def fit(
         improved = ndcg > best
         if improved:
             best, no_improve = ndcg, 0
+            best_in_memory = epoch
             if keeper is not None:
                 keeper.save(epoch, state, {"ndcg": ndcg, "hr": hr, "epoch": epoch})
         else:
             no_improve += 1
-            if keeper is not None:
-                keeper.save_latest(epoch, state)  # refresh resume point
+        # resume point (full state incl. optimizer moments) on its own
+        # cadence — best/ is params-only, so it can't serve as one
+        if keeper is not None and epoch % max(tc.checkpoint_interval, 1) == 0:
+            keeper.save_latest(epoch, state)
 
         now = datetime.now().strftime("%H:%M:%S")
         emit(f"{now} - Epoch {epoch:03d}: Val Loss = {val_loss:.4f} "
@@ -669,8 +673,11 @@ def fit(
             emit(f"No improvement in {no_improve} epochs, early stopping...")
             break
 
-    # reload best and run the held-out test split (src/train.py:141-149)
-    if keeper is not None:
+    # reload best and run the held-out test split (src/train.py:141-149).
+    # When the final epoch improved, the live state already IS the best
+    # state — skip the disk round-trip (the 10M-item state is ~5 GB each
+    # way; the saved copy is byte-identical to what's in memory)
+    if keeper is not None and best_in_memory != epoch:
         restored = keeper.restore_best(state)
         if restored is not None:
             state = restored[1]

@@ -150,3 +150,30 @@ def test_scanned_step_matches_single_steps(setup):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=2e-5, atol=1e-6),
         s1.params, s2.params)
+
+
+def test_device_generated_catalog():
+    """synthetic_catalog_device: same Catalog contract as the host
+    generator (pad row, id domain, CSR alignment) with the big arrays
+    already on device; composes with DeviceDataset + assembly."""
+    from carca_tpu.data.synthetic import synthetic_catalog_device
+
+    cat = synthetic_catalog_device(n_users=150, n_real_items=300, n_attrs=6,
+                                   n_ctx=3, seed=7)
+    assert cat.n_items == 301 and cat.n_attrs == 6 and cat.n_ctx == 3
+    assert isinstance(cat.attrs, jnp.ndarray)
+    items = np.asarray(cat.items)
+    assert items.min() >= 1 and items.max() <= 300
+    assert int(cat.offsets[-1]) == items.shape[0] == np.asarray(cat.ctx_vals).shape[0]
+    np.testing.assert_array_equal(np.asarray(cat.attrs[0]), 0.0)
+    # zipf-ish: low ids (popular ranks) occur more often than high ids
+    assert (items <= 30).sum() > (items > 270).sum()
+
+    ds = DeviceDataset(cat, seq_len=8, target_len=12, test=True)
+    users = ds.users("train")[:16]
+    b = assemble_train(ds.arrays, 8, cat.n_items, jnp.asarray(users, jnp.int32),
+                       jax.random.PRNGKey(0))
+    o = np.asarray(b["o_x"])
+    assert np.isfinite(np.asarray(b["o_c"])).all()
+    assert (o >= 0).all() and (o < cat.n_items).all()
+    assert np.asarray(b["y_true"]).max() == 1.0

@@ -172,6 +172,27 @@ def test_bce_matches_oracle():
     assert abs(got - want) < 1e-5
 
 
+def test_bce_saturated_sigmoid_finite_under_jit():
+    """Regression: XLA reassociates ``(1 − ŷ) + eps`` into ``(1 + eps) − ŷ``
+    which is exactly 0 in f32 when a sigmoid saturates to 1.0 (routine for
+    unnormalized dot logits over ≥100k-item catalogs) → −inf loss, NaN
+    grads. The loss must stay finite, with finite grads, at exact 0/1
+    probabilities *inside jit*."""
+    y_pred = jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32)
+    y_true = jnp.asarray([0.0, 1.0, 1.0, 0.0], jnp.float32)
+    mask = jnp.ones(4, jnp.float32)
+    loss = float(jax.jit(masked_bce)(y_pred, y_true, mask))
+    assert np.isfinite(loss)
+    assert abs(loss - (2 * -np.log(1e-8)) / 4) < 1e-3  # two saturated-wrong terms
+
+    def through_sigmoid(logits):
+        return masked_bce(jax.nn.sigmoid(logits), y_true, mask)
+
+    g = jax.jit(jax.grad(through_sigmoid))(
+        jnp.asarray([40.0, -40.0, 40.0, -40.0], jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_knn(batch):
     p_x, o_x, attrs, p_c, o_c = batch
     y = knn_apply((p_x, attrs[p_x], p_c), [(o_x, attrs[o_x], o_c)])
