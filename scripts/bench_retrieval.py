@@ -46,11 +46,14 @@ def main() -> None:
         embedding="all", decoder="dot", use_pallas=jax.default_backend() == "tpu",
     )
     params = carca_init(jax.random.PRNGKey(0), mc)
-    rng = np.random.default_rng(0)
-    attrs = jnp.asarray(rng.normal(size=(args.items, args.attrs)).astype(np.float32))
+    # generate the synthetic catalog/queries on device (the [10M, A] attrs
+    # table is ~1.3 GB — no reason to ship it through the host link)
+    k_a, k_x, k_c = jax.random.split(jax.random.PRNGKey(1), 3)
     b = args.batch
-    p_x = jnp.asarray(rng.integers(1, args.items, (b, mc.seq_len)), jnp.int32)
-    p_c = jnp.asarray(rng.normal(size=(b, mc.seq_len, mc.n_ctx)), jnp.float32)
+    attrs, p_x, p_c = jax.jit(lambda: (
+        jax.random.normal(k_a, (args.items, args.attrs), jnp.float32),
+        jax.random.randint(k_x, (b, mc.seq_len), 1, args.items, jnp.int32),
+        jax.random.normal(k_c, (b, mc.seq_len, mc.n_ctx), jnp.float32)))()
     profile = (p_x, None, p_c)
 
     # catalog embedded once per eval sweep (amortized; excluded from the
