@@ -208,9 +208,9 @@ def preset(name: str, n_items: int = 0, n_attrs: int = 0, n_ctx: int = 0) -> Con
                          d=64, n_blocks=2, seq_len=50, embedding="all",
                          decoder="dot", compute_dtype="bfloat16")
         # single-chip runnable as-is (HBM-resident catalog + on-device
-        # sampling). On a pod slice, add `--mesh NxM --device_pipeline false`
-        # — the mesh path row-shards the tables (shard_embeddings below);
-        # device_pipeline and mesh are mutually exclusive in fit().
+        # sampling). On a pod slice, add `--mesh NxM` — the device
+        # pipeline composes with the mesh (catalog replicated, user rows
+        # sharded over 'data', tables row-sharded via shard_embeddings).
         return Config(
             model=m,
             data=DataConfig(synthetic=True, synthetic_users=100_000,

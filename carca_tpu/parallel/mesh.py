@@ -108,20 +108,22 @@ def prepare_state_for_mesh(state, mesh: Mesh, tx):
 
     def pad(path, leaf):
         if _is_table_path(path) and getattr(leaf, "ndim", 0) == 2:
-            return jax.numpy.asarray(pad_table_rows(np.asarray(leaf), mesh))
+            return jax.numpy.asarray(pad_table_rows(leaf, mesh))
         return leaf
 
     params = jax.tree_util.tree_map_with_path(pad, state.params)
     return state.replace(params=params, opt_state=tx.init(params))
 
 
-def pad_table_rows(table: np.ndarray, mesh: Mesh) -> np.ndarray:
+def pad_table_rows(table, mesh: Mesh):
     """Pad a table's row count to a multiple of the ``model`` axis size so it
-    row-shards evenly; pad rows are never indexed (ids < n_items)."""
+    row-shards evenly; pad rows are never indexed (ids < n_items). Works on
+    numpy and device (jnp) tables — device tables stay on device."""
     n = mesh.shape.get("model", 1)
     rows = table.shape[0]
     pad = (-rows) % n
     if pad:
-        table = np.concatenate(
-            [table, np.zeros((pad,) + table.shape[1:], table.dtype)], axis=0)
+        xp = np if isinstance(table, np.ndarray) else jax.numpy
+        table = xp.concatenate(
+            [table, xp.zeros((pad,) + table.shape[1:], table.dtype)], axis=0)
     return table

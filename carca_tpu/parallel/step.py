@@ -127,6 +127,148 @@ def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
     return wrapped
 
 
+def make_sharded_device_train_step(
+    mc, tx, mesh: Mesh, *, shard_embeddings: bool = False,
+    inner_steps: int = 1,
+) -> Callable:
+    """Device-pipeline train step over the mesh: (state, attrs_table,
+    catalog_arrays, user_rows) → (state, loss).
+
+    The HBM-resident catalog (CSR events + window bounds — tens of MB even
+    at 100k users) is **replicated** on every chip; the per-step user-row
+    vector is sharded ``P('data')``, so assembly, negative sampling, and
+    the forward/backward all run sharded with zero host-shipped batch
+    tensors — the multi-chip version of ``make_device_train_step``. The
+    body mirrors it op-for-op (same RNG threading), so the sharded step is
+    bit-identical to the single-device one (SPMD is semantics-preserving).
+    With ``inner_steps > 1`` the rows are ``[K, B]`` and K steps run in one
+    dispatch via ``lax.scan`` (the single-device scanned dispatch).
+    """
+    from carca_tpu.data.device_pipeline import assemble_train
+    lookup = _lookup_for(mesh, shard_embeddings)
+    L = mc.seq_len
+
+    def one_step(attrs_table, arrays, state: TrainState, rows):
+        rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
+        batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng)
+
+        def loss_fn(params):
+            o_x, o_c = batch["o_x"], batch["o_c"]
+            targets = [
+                (o_x[:, :L], None, o_c[:, :L]),
+                (o_x[:, L:], None, o_c[:, L:]),
+            ]
+            y_pred = carca_apply(
+                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
+                train=True, rng=step_rng, attrs_table=attrs_table,
+                lookup=lookup,
+            )
+            return masked_bce(y_pred, batch["y_true"], get_mask(batch["o_x"]))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, rng=rng,
+                          step=state.step + 1), loss
+
+    if inner_steps > 1:
+        def step(state, attrs_table, arrays, user_rows):
+            return jax.lax.scan(partial(one_step, attrs_table, arrays),
+                                state, user_rows, length=inner_steps)
+    else:
+        def step(state, attrs_table, arrays, user_rows):
+            return one_step(attrs_table, arrays, state, user_rows)
+
+    return _jit_sharded_device(step, mesh, shard_embeddings,
+                               rows_dims=2 if inner_steps > 1 else 1)
+
+
+def make_sharded_device_eval_step(
+    mc, top_k: int, mesh: Mesh, mode: str, *,
+    shard_embeddings: bool = False, inner_steps: int = 1,
+) -> Callable:
+    """Device-pipeline eval over the mesh: (params, attrs_table,
+    catalog_arrays, user_rows, rng) → (hr_sum, ndcg_sum, loss, n_valid),
+    reductions psum'd across chips by SPMD. Mirrors
+    ``make_device_eval_step`` (scanned form takes ``[K, B]`` rows and
+    ``[K]`` keys and matches ``make_scanned_device_eval_step``)."""
+    from carca_tpu.data.device_pipeline import assemble_eval
+    lookup = _lookup_for(mesh, shard_embeddings)
+
+    def one_eval(params, attrs_table, arrays, rows, rng):
+        batch = assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
+                              mode, rows, rng)
+        y_pred = carca_apply(
+            params, mc, (batch["p_x"], None, batch["p_c"]),
+            [(batch["o_x"], None, batch["o_c"])],
+            train=False, attrs_table=attrs_table, lookup=lookup,
+        )
+        mask = get_mask(batch["o_x"])
+        loss = masked_bce(y_pred, batch["y_true"], mask)
+        row_mask = get_mask(batch["o_x"][:, 0])
+        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+        return hr, ndcg, loss, batch["n_valid"]
+
+    if inner_steps > 1:
+        def step(params, attrs_table, arrays, user_rows, keys):
+            def body(_, xs):
+                rows, key = xs
+                return None, one_eval(params, attrs_table, arrays, rows, key)
+            _, out = jax.lax.scan(body, None, (user_rows, keys),
+                                  length=inner_steps)
+            return out
+    else:
+        step = one_eval
+
+    repl = NamedSharding(mesh, P())
+    rows_spec = (P(None, "data") if inner_steps > 1 else P("data"))
+
+    def wrapped(params, attrs_table, arrays, user_rows, keys):
+        arrays_repl = jax.tree_util.tree_map(lambda _: repl, arrays)
+        fn = jax.jit(
+            step,
+            in_shardings=(
+                param_shardings(params, mesh, shard_embeddings),
+                table_sharding(mesh, shard_embeddings),
+                arrays_repl,
+                NamedSharding(mesh, rows_spec),
+                repl,
+            ),
+            out_shardings=(repl, repl, repl, repl),
+        )
+        return fn(params, attrs_table, arrays, user_rows, keys)
+
+    return wrapped
+
+
+def _jit_sharded_device(step, mesh: Mesh, shard_embeddings: bool,
+                        rows_dims: int):
+    """jit the device-pipeline step with catalog arrays replicated and user
+    rows sharded over ``data`` (last dim for the scanned [K, B] form)."""
+    repl = NamedSharding(mesh, P())
+    rows_spec = (P(None, "data") if rows_dims == 2 else P("data"))
+
+    def wrapped(state, attrs_table, arrays, user_rows):
+        arrays_repl = jax.tree_util.tree_map(lambda _: repl, arrays)
+        fn = jax.jit(
+            step,
+            in_shardings=(
+                param_shardings(state, mesh, shard_embeddings),
+                table_sharding(mesh, shard_embeddings),
+                arrays_repl,
+                NamedSharding(mesh, rows_spec),
+            ),
+            out_shardings=(
+                param_shardings(state, mesh, shard_embeddings),
+                repl,
+            ),
+            donate_argnums=(0,),
+        )
+        return fn(state, attrs_table, arrays, user_rows)
+
+    return wrapped
+
+
 def _jit_sharded(step, mc, mesh: Mesh, shard_embeddings: bool, donate: bool):
     """jit with explicit shardings derived from the first call's args.
 

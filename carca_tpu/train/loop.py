@@ -474,10 +474,6 @@ def fit(
     # optimizer moments are kept — prepare_state_for_mesh re-inits them).
     mesh = None
     if tc.mesh_shape and int(np.prod(tc.mesh_shape)) > 1:
-        if dd is not None:
-            raise ValueError(
-                "device_pipeline and mesh_shape are mutually exclusive for "
-                "now — the HBM-resident pipeline is single-chip")
         from carca_tpu.parallel.mesh import (make_mesh, pad_table_rows,
                                              prepare_state_for_mesh)
         mesh = make_mesh(tc.mesh_shape, tc.mesh_axes)
@@ -520,7 +516,28 @@ def fit(
                 from carca_tpu.parallel.mesh import param_shardings
                 state = jax.device_put(
                     state, param_shardings(state, mesh, shard_emb))
-    if mesh is not None:
+    if mesh is not None and dd is not None:
+        # device-resident pipeline over the mesh: catalog replicated,
+        # user rows sharded P('data'), assembly + sampling inside the
+        # sharded step — the multi-chip production path
+        from carca_tpu.parallel.step import (
+            make_sharded_device_eval_step, make_sharded_device_train_step)
+        train_step = make_sharded_device_train_step(
+            mc, tx, mesh, shard_embeddings=shard_emb)
+        scanned_step = (make_sharded_device_train_step(
+                            mc, tx, mesh, shard_embeddings=shard_emb,
+                            inner_steps=tc.inner_steps)
+                        if tc.inner_steps > 1 else None)
+        eval_steps = {m: make_sharded_device_eval_step(
+                          mc, tc.top_k, mesh, m, shard_embeddings=shard_emb)
+                      for m in ("val", "test")}
+        scanned_evals = {m: (make_sharded_device_eval_step(
+                                 mc, tc.top_k, mesh, m,
+                                 shard_embeddings=shard_emb,
+                                 inner_steps=tc.inner_steps)
+                             if tc.inner_steps > 1 else None)
+                         for m in ("val", "test")}
+    elif mesh is not None:
         from carca_tpu.parallel.step import (make_sharded_eval_step,
                                              make_sharded_train_step)
         train_step = make_sharded_train_step(

@@ -200,11 +200,72 @@ def test_fit_mesh_rejects_bad_config(tmp_path):
                       out_dir=str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="divisible"):
         fit(Config(model=mc, train=bad), cat, log=False)
-    both = TrainConfig(batch_size=16, mesh_shape=(8,),
-                       out_dir=str(tmp_path / "both"))
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        fit(Config(model=mc, data=DataConfig(device_pipeline=True),
-                   train=both), cat, log=False)
+def test_sharded_device_step_matches_single_device():
+    """The device-pipeline step over an 8-way mesh is op-for-op the
+    single-device device step (same RNG threading, replicated catalog,
+    P('data') rows) — loss and updated params must agree to FP noise."""
+    from carca_tpu.data.device_pipeline import DeviceDataset
+    from carca_tpu.parallel.step import make_sharded_device_train_step
+    from carca_tpu.train.loop import make_device_train_step
+
+    cat = synthetic_catalog(n_users=128, n_real_items=80, seed=3)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="ca")
+    tc_ = TrainConfig(batch_size=16)
+    tx = make_optimizer(tc_)
+    dd = DeviceDataset(cat, mc.seq_len, mc.target_len)
+    attrs = jnp.asarray(cat.attrs)
+    rows = jnp.asarray(dd.users("train")[:16], jnp.int32)
+
+    s0 = create_train_state(jax.random.PRNGKey(2), mc, tc_, tx)
+    s1 = create_train_state(jax.random.PRNGKey(2), mc, tc_, tx)
+
+    single = make_device_train_step(mc, tx)
+    mesh = make_mesh((8,), ("data",))
+    sharded = make_sharded_device_train_step(mc, tx, mesh)
+
+    # compare losses across consecutive steps: step k's loss is computed
+    # from step k-1's params, so any real divergence compounds and shows
+    # up here. (Post-Adam params are not compared directly — Adam's
+    # g/(√g²+ε) normalization amplifies psum-reduction FP noise
+    # unboundedly on near-zero-gradient leaves, as in the DP step test.)
+    all_rows = dd.users("train")
+    for k in range(3):
+        rows = jnp.asarray(all_rows[16 * k: 16 * (k + 1)], jnp.int32)
+        s0, loss0 = single(s0, attrs, dd.arrays, rows)
+        s1, loss1 = sharded(s1, attrs, dd.arrays, rows)
+        np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-4,
+                                   err_msg=f"step {k}")
+
+
+def test_fit_device_pipeline_through_mesh(tmp_path):
+    """End-to-end fit() with device_pipeline + mesh (the multi-chip
+    production path): catalog replicated, rows sharded, assembly/sampling
+    inside the sharded step; metrics match the single-device device-
+    pipeline fit on the same catalog/seed."""
+    from carca_tpu.config import Config, DataConfig
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=96, n_real_items=60, seed=5)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=2, n_heads=2, dropout=0.0, decoder="ca")
+    dc = DataConfig(device_pipeline=True)
+
+    def tc(out, **kw):
+        return TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
+                           inner_steps=2, out_dir=str(tmp_path / out), **kw)
+
+    _, m_single = fit(Config(model=mc, data=dc, train=tc("single")), cat,
+                      log=False)
+    _, m_mesh = fit(Config(model=mc, data=dc, train=tc(
+        "mesh", mesh_shape=(4, 2), mesh_axes=("data", "model"),
+        shard_embeddings=True)), cat, log=False)
+
+    for key in ("val_hr", "val_ndcg", "test_hr", "test_ndcg"):
+        assert np.isfinite(m_mesh[key])
+        np.testing.assert_allclose(m_mesh[key], m_single[key], atol=5e-3)
 
 
 def test_fit_mesh_resume_and_device_sampling(tmp_path):
