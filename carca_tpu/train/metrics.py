@@ -32,8 +32,16 @@ def hr_ndcg_sums(
     instead).
     """
     k = min(k, y_pred.shape[-1])
-    _, idx = jax.lax.top_k(y_pred, k)
+    # a NaN score must never *win* the ranking: lax.top_k would otherwise
+    # surface NaNs first, reporting HR=1.0 for a diverged model — the
+    # worst possible failure mode for a metric. Rank NaNs last instead
+    # (loss still reports the NaN; metrics degrade toward 0).
+    y_pred = jnp.where(jnp.isnan(y_pred), -jnp.inf, y_pred)
+    vals, idx = jax.lax.top_k(y_pred, k)
     top_labels = jnp.take_along_axis(y_true.astype(jnp.float32), idx, axis=-1)
+    # all-NaN rows tie at -inf and top_k must pick *something* — a slot
+    # whose score is non-finite earns no credit
+    top_labels = top_labels * jnp.isfinite(vals)
     ranks = jnp.arange(k, dtype=jnp.float32)
     gains = 1.0 / jnp.log2(ranks + 2.0)
     hr_rows = jnp.sum(top_labels, axis=-1)

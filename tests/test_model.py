@@ -245,3 +245,21 @@ def test_remat_matches_no_remat(batch):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_metrics_nan_scores_rank_last():
+    """A diverged model (NaN predictions) must not report HR=1.0 — NaN
+    scores rank last, so metrics degrade toward 0 while the loss carries
+    the NaN signal."""
+    from carca_tpu.train.metrics import hr_ndcg_sums
+
+    y_pred = jnp.asarray([[np.nan, np.nan, 0.9, 0.1],
+                          [np.nan, 0.8, 0.2, 0.1]], jnp.float32)
+    y_true = jnp.asarray([[1.0, 0, 0, 0],
+                          [1.0, 0, 0, 0]], jnp.float32)
+    hr, ndcg = jax.jit(hr_ndcg_sums, static_argnums=2)(y_pred, y_true, 2)
+    assert float(hr) == 0.0 and float(ndcg) == 0.0
+    # all-NaN rows likewise contribute nothing
+    hr, _ = jax.jit(hr_ndcg_sums, static_argnums=2)(
+        jnp.full((2, 4), jnp.nan), y_true, 2)
+    assert float(hr) == 0.0
