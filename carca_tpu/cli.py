@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="row-shard item/attr tables over the mesh 'model' axis")
     p.add_argument("--device_sampling", type=parse_bool, default=False,
                    help="sample train negatives on device (mesh path)")
+    p.add_argument("--exact_rejection", type=parse_pallas_flag, default="auto",
+                   help="device-pipeline negative rejection: true = reject "
+                        "vs the user's full history (reference protocol), "
+                        "false = visible window only, auto = full history "
+                        "when max history <= 4x seq_len")
     p.add_argument("--checkpoint_interval", type=int, default=1,
                    help="refresh the latest/ resume checkpoint every N "
                         "non-improving epochs (best/ always saves on "
@@ -126,6 +131,7 @@ _PRESET_OVERLAY = {
         "synthetic_users": "synthetic_users",
         "synthetic_items": "synthetic_items",
         "device_sampling": "device_sampling",
+        "exact_rejection": "exact_rejection",
         # the synthetic catalog must be reproducible from args.json alone
         # (carca-serve regenerates it at load time), so the run seed flows
         # into DataConfig.synthetic_seed too
@@ -201,6 +207,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         attr_file=args.attr_file, ctx_file=args.ctx_file,
         use_native=args.use_native, device_pipeline=args.device_pipeline,
         device_sampling=args.device_sampling,
+        exact_rejection=args.exact_rejection,
         synthetic=args.synthetic,
         synthetic_users=args.synthetic_users,
         synthetic_items=args.synthetic_items,
@@ -260,8 +267,12 @@ def main(argv: Optional[list] = None) -> None:
 
         state, metrics = fit(cfg, catalog)
         if args.eval_retrieval and cfg.model.decoder != "ca":
+            params = state.params
+            # drop the Adam moments (2x params — ~5 GB at 10M items)
+            # before the catalog-embedding pass; training is over
+            state = None
             metrics.update(evaluate_retrieval(
-                cfg, catalog, state.params, k=args.eval_retrieval))
+                cfg, catalog, params, k=args.eval_retrieval))
     print("final:", metrics)
 
 

@@ -108,9 +108,14 @@ class DataConfig:
     # [B] user-row vector instead of ~1 MB of tensors. Negative rejection
     # then uses the visible window (see device_sampling note below).
     device_pipeline: bool = False
-    # on-device negative sampling (rejects vs the visible window, not the full
-    # profile — a documented approximation used for the at-scale configs)
+    # on-device negative sampling (mesh host-pipeline path)
     device_sampling: bool = False
+    # device-pipeline negative rejection set: True → the user's FULL
+    # history (the reference's exact protocol, src/data.py:77-87), False →
+    # visible window + targets only, "auto" → full history when the
+    # dataset's max history length is ≤ 4× seq_len (the all-pairs compare
+    # cost is linear in the reject-set width)
+    exact_rejection: Any = "auto"
     synthetic: bool = False  # deterministic synthetic dataset (tests/bench)
     synthetic_users: int = 2000
     synthetic_items: int = 1000

@@ -10,10 +10,12 @@ vector of user rows — the only per-step host→device transfer.
 
 Semantics match ``BatchBuilder`` (same window formulas, right-alignment,
 negative-context inheritance, labels). Negative sampling uses the on-device
-sampler, which rejects against the **visible window + targets** rather than
-the user's full history — the documented at-scale approximation
-(``DataConfig.device_sampling``); use the host pipeline for strict
-reference-protocol parity runs.
+sampler; with ``reject_width > 0`` (the default policy in ``fit`` when
+histories are short enough) it rejects against the user's **full history**
+gathered from the HBM-resident CSR — the reference's exact protocol
+(``src/data.py:77-87``). ``reject_width = 0`` falls back to rejecting
+against the visible window + targets only, the documented approximation
+for extreme history lengths (``DataConfig.exact_rejection``).
 """
 
 from __future__ import annotations
@@ -26,7 +28,8 @@ import numpy as np
 
 from carca_tpu.data.loaders import Catalog
 from carca_tpu.data.windowing import valid_users, window_bounds
-from carca_tpu.parallel.sampling import device_sample_negatives
+from carca_tpu.parallel.sampling import (device_sample_negatives,
+                                         retries_for)
 
 
 class DeviceDataset:
@@ -45,10 +48,12 @@ class DeviceDataset:
         }
         bounds = {m: window_bounds(lengths, self.L, m, test)
                   for m in ("train", "val", "test")}
+        self.hist_max = int(lengths.max()) if len(lengths) else 0
         self.arrays: Dict[str, jnp.ndarray] = {
             "items": jnp.asarray(catalog.items, jnp.int32),
             "ctx": jnp.asarray(catalog.ctx_vals, jnp.float32),
             "offsets": jnp.asarray(catalog.offsets[:-1], jnp.int32),
+            "hist_len": jnp.asarray(lengths, jnp.int32),
         }
         for m, (s, e) in bounds.items():
             self.arrays[f"start_{m}"] = jnp.asarray(s, jnp.int32)
@@ -82,8 +87,21 @@ def _profile_slots(arrays, mode: str, user_rows: jnp.ndarray, L: int):
     return _window_slots(arrays, mode, user_rows, L, L)
 
 
+def _history_rows(arrays, user_rows: jnp.ndarray, H: int) -> jnp.ndarray:
+    """[B, H] of each user's FULL history item ids, 0-padded (H = the
+    dataset's max history length, a static shape). The reference's sampler
+    rejects against this whole set (``src/data.py:77-87``)."""
+    rows = jnp.maximum(user_rows, 0)
+    off = arrays["offsets"][rows]
+    n = arrays["hist_len"][rows]
+    j = jnp.arange(H, dtype=jnp.int32)[None, :]
+    valid = (j < n[:, None]) & (user_rows >= 0)[:, None]
+    idx = jnp.where(valid, off[:, None] + j, 0)
+    return jnp.where(valid, arrays["items"][idx], 0)
+
+
 def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
-                   rng: jax.Array) -> Dict[str, jnp.ndarray]:
+                   rng: jax.Array, reject_width: int = 0) -> Dict[str, jnp.ndarray]:
     """[B] user rows → train batch, entirely on device.
 
     The positive targets are the profile window shifted by one event
@@ -106,11 +124,15 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     o_pos = jnp.where(valid, w_x[:, 1:], 0)
     o_pos_c = w_c[:, 1:] * valid[..., None]
 
-    # reject against everything visible (window + targets); fresh per call.
-    # The targets are the window shifted by one, so visible = the whole
-    # [B, L+1] window — narrower than concat([p_x, o_pos])'s [B, 2L] (the
-    # sampler's all-pairs compare cost is linear in this width)
-    negs = device_sample_negatives(rng, w_x, n_items, L)
+    # fresh negatives per call. reject_width > 0 → reject against the
+    # user's full history (the reference's exact protocol); else against
+    # everything visible — the targets are the window shifted by one, so
+    # visible = the whole [B, L+1] window (the sampler's all-pairs compare
+    # cost is linear in the reject-set width)
+    reject = (_history_rows(arrays, user_rows, reject_width)
+              if reject_width > 0 else w_x)
+    negs = device_sample_negatives(rng, reject, n_items, L,
+                                   retries_for(reject.shape[1], n_items))
     o_neg = jnp.where(valid, negs, 0)
 
     o_x = jnp.concatenate([o_pos, o_neg], axis=1)
@@ -122,7 +144,8 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
 
 
 def assemble_eval(arrays, L: int, T: int, n_items: int, mode: str,
-                  user_rows: jnp.ndarray, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+                  user_rows: jnp.ndarray, rng: jax.Array,
+                  reject_width: int = 0) -> Dict[str, jnp.ndarray]:
     """[B] user rows → eval batch (1 held-out positive + T negatives)."""
     items, ctx = arrays["items"], arrays["ctx"]
     p_evt, valid, alive, e, off = _profile_slots(arrays, mode, user_rows, L)
@@ -134,8 +157,11 @@ def assemble_eval(arrays, L: int, T: int, n_items: int, mode: str,
     pos = jnp.where(alive, items[one_out], 0)
     pos_c = ctx[one_out] * alive[:, None]
 
-    visible = jnp.concatenate([p_x, pos[:, None]], axis=1)
-    negs = device_sample_negatives(rng, visible, n_items, T)
+    visible = (_history_rows(arrays, user_rows, reject_width)
+               if reject_width > 0
+               else jnp.concatenate([p_x, pos[:, None]], axis=1))
+    negs = device_sample_negatives(rng, visible, n_items, T,
+                                   retries_for(visible.shape[1], n_items))
     negs = jnp.where(alive[:, None], negs, 0)
 
     o_x = jnp.concatenate([pos[:, None], negs], axis=1)

@@ -16,10 +16,26 @@ draw is used unconditionally in that case (keeps shapes static).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def retries_for(reject_width: int, n_items: int) -> int:
+    """Retry count making the all-draws-collide fallback negligible.
+
+    Collision probability per draw is ≤ reject_width/(n_items − 1); pick R
+    so p^R ≤ 1e−12. Production catalogs (≥100k items) stay at the default
+    8; only tiny catalogs with wide reject sets (tests, toy runs) pay for
+    more draws. Capped at 64 — beyond that the reject set nearly covers
+    the catalog and rejection sampling is the wrong tool anyway.
+    """
+    p = min(reject_width / max(n_items - 1, 1), 0.999)
+    if p <= 0.03:  # 0.03^8 < 1e-12
+        return 8
+    return max(8, min(64, math.ceil(-12.0 / math.log10(p))))
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))

@@ -129,7 +129,7 @@ def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
 
 def make_sharded_device_train_step(
     mc, tx, mesh: Mesh, *, shard_embeddings: bool = False,
-    inner_steps: int = 1,
+    inner_steps: int = 1, reject_width: int = 0,
 ) -> Callable:
     """Device-pipeline train step over the mesh: (state, attrs_table,
     catalog_arrays, user_rows) → (state, loss).
@@ -150,7 +150,8 @@ def make_sharded_device_train_step(
 
     def one_step(attrs_table, arrays, state: TrainState, rows):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
-        batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng)
+        batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
+                               reject_width)
 
         def loss_fn(params):
             o_x, o_c = batch["o_x"], batch["o_c"]
@@ -186,6 +187,7 @@ def make_sharded_device_train_step(
 def make_sharded_device_eval_step(
     mc, top_k: int, mesh: Mesh, mode: str, *,
     shard_embeddings: bool = False, inner_steps: int = 1,
+    reject_width: int = 0,
 ) -> Callable:
     """Device-pipeline eval over the mesh: (params, attrs_table,
     catalog_arrays, user_rows, rng) → (hr_sum, ndcg_sum, loss, n_valid),
@@ -197,7 +199,7 @@ def make_sharded_device_eval_step(
 
     def one_eval(params, attrs_table, arrays, rows, rng):
         batch = assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
-                              mode, rows, rng)
+                              mode, rows, rng, reject_width)
         y_pred = carca_apply(
             params, mc, (batch["p_x"], None, batch["p_c"]),
             [(batch["o_x"], None, batch["o_c"])],

@@ -109,7 +109,7 @@ def make_eval_step(mc, top_k: int) -> Callable:
     return eval_step
 
 
-def make_device_train_step(mc, tx) -> Callable:
+def make_device_train_step(mc, tx, reject_width: int = 0) -> Callable:
     """Train step with ON-DEVICE batch assembly: (state, attrs_table,
     catalog_arrays, user_rows [B]) → (state, loss). The only per-step
     host→device transfer is the user-row vector (~1 KB) — essential when
@@ -120,7 +120,8 @@ def make_device_train_step(mc, tx) -> Callable:
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, attrs_table, arrays, user_rows):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
-        batch = assemble_train(arrays, L, mc.n_items, user_rows, neg_rng)
+        batch = assemble_train(arrays, L, mc.n_items, user_rows, neg_rng,
+                               reject_width)
 
         def loss_fn(params):
             o_x, o_c = batch["o_x"], batch["o_c"]
@@ -143,7 +144,8 @@ def make_device_train_step(mc, tx) -> Callable:
     return train_step
 
 
-def make_scanned_device_train_step(mc, tx, inner_steps: int) -> Callable:
+def make_scanned_device_train_step(mc, tx, inner_steps: int,
+                                   reject_width: int = 0) -> Callable:
     """``inner_steps`` on-device train steps per dispatch via ``lax.scan``:
     (state, attrs_table, catalog_arrays, user_rows [K, B]) → (state,
     losses [K]).
@@ -161,7 +163,8 @@ def make_scanned_device_train_step(mc, tx, inner_steps: int) -> Callable:
     def scanned_step(state: TrainState, attrs_table, arrays, user_rows):
         def one_step(state: TrainState, rows):
             rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
-            batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng)
+            batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
+                                   reject_width)
 
             def loss_fn(params):
                 o_x, o_c = batch["o_x"], batch["o_c"]
@@ -188,7 +191,8 @@ def make_scanned_device_train_step(mc, tx, inner_steps: int) -> Callable:
     return scanned_step
 
 
-def make_device_eval_step(mc, top_k: int, mode: str) -> Callable:
+def make_device_eval_step(mc, top_k: int, mode: str,
+                          reject_width: int = 0) -> Callable:
     """(params, attrs_table, catalog_arrays, user_rows, rng) →
     (hr_sum, ndcg_sum, loss, n_valid), assembled and scored on device."""
     from carca_tpu.data.device_pipeline import assemble_eval
@@ -196,7 +200,7 @@ def make_device_eval_step(mc, top_k: int, mode: str) -> Callable:
     @partial(jax.jit, static_argnames=())
     def eval_step(params, attrs_table, arrays, user_rows, rng):
         batch = assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
-                              mode, user_rows, rng)
+                              mode, user_rows, rng, reject_width)
         y_pred = carca_apply(
             params, mc, (batch["p_x"], None, batch["p_c"]),
             [(batch["o_x"], None, batch["o_c"])],
@@ -212,7 +216,8 @@ def make_device_eval_step(mc, top_k: int, mode: str) -> Callable:
 
 
 def make_scanned_device_eval_step(mc, top_k: int, mode: str,
-                                  inner_steps: int) -> Callable:
+                                  inner_steps: int,
+                                  reject_width: int = 0) -> Callable:
     """``inner_steps`` eval batches per dispatch: (params, attrs_table,
     catalog_arrays, user_rows [K, B], keys [K]) → per-batch (hr, ndcg,
     loss, n_valid) arrays of length K."""
@@ -223,7 +228,7 @@ def make_scanned_device_eval_step(mc, top_k: int, mode: str,
         def body(_, xs):
             rows, key = xs
             batch = assemble_eval(arrays, mc.seq_len, mc.target_len,
-                                  mc.n_items, mode, rows, key)
+                                  mc.n_items, mode, rows, key, reject_width)
             y_pred = carca_apply(
                 params, mc, (batch["p_x"], None, batch["p_c"]),
                 [(batch["o_x"], None, batch["o_c"])],
@@ -307,7 +312,11 @@ def evaluate_retrieval(
             "cross-attention decoder is a ranking model (see retrieval.py)")
     dd = DeviceDataset(catalog, mc.seq_len, mc.target_len, test=tc.test)
     attrs_table = jnp.asarray(catalog.attrs)
-    emb = jax.jit(lambda p, a: embed_catalog(p, mc, a))(params, attrs_table)
+    # bf16 catalog embeddings at multi-million-item scale: halves the [N, d]
+    # residency (2.56 GB f32 at 10M, d=64) next to the live train params
+    emb_dtype = jnp.bfloat16 if mc.n_items >= 4_000_000 else jnp.float32
+    emb = jax.jit(lambda p, a: embed_catalog(p, mc, a, out_dtype=emb_dtype))(
+        params, attrs_table)
 
     @jax.jit
     def batch_metrics(params, attrs_table, emb, user_rows):
@@ -516,6 +525,16 @@ def fit(
                 from carca_tpu.parallel.mesh import param_shardings
                 state = jax.device_put(
                     state, param_shardings(state, mesh, shard_emb))
+    # device-pipeline negative-rejection policy (DataConfig.exact_rejection):
+    # reject against the user's full history (the reference's exact
+    # protocol) unless histories are so long the all-pairs compare would
+    # dominate the step
+    rw = 0
+    if dd is not None:
+        er = cfg.data.exact_rejection
+        if er is True or (er == "auto" and dd.hist_max <= 4 * mc.seq_len):
+            rw = dd.hist_max
+
     if mesh is not None and dd is not None:
         # device-resident pipeline over the mesh: catalog replicated,
         # user rows sharded P('data'), assembly + sampling inside the
@@ -523,18 +542,19 @@ def fit(
         from carca_tpu.parallel.step import (
             make_sharded_device_eval_step, make_sharded_device_train_step)
         train_step = make_sharded_device_train_step(
-            mc, tx, mesh, shard_embeddings=shard_emb)
+            mc, tx, mesh, shard_embeddings=shard_emb, reject_width=rw)
         scanned_step = (make_sharded_device_train_step(
                             mc, tx, mesh, shard_embeddings=shard_emb,
-                            inner_steps=tc.inner_steps)
+                            inner_steps=tc.inner_steps, reject_width=rw)
                         if tc.inner_steps > 1 else None)
         eval_steps = {m: make_sharded_device_eval_step(
-                          mc, tc.top_k, mesh, m, shard_embeddings=shard_emb)
+                          mc, tc.top_k, mesh, m, shard_embeddings=shard_emb,
+                          reject_width=rw)
                       for m in ("val", "test")}
         scanned_evals = {m: (make_sharded_device_eval_step(
                                  mc, tc.top_k, mesh, m,
                                  shard_embeddings=shard_emb,
-                                 inner_steps=tc.inner_steps)
+                                 inner_steps=tc.inner_steps, reject_width=rw)
                              if tc.inner_steps > 1 else None)
                          for m in ("val", "test")}
     elif mesh is not None:
@@ -546,13 +566,16 @@ def fit(
         eval_step = make_sharded_eval_step(mc, tc.top_k, mesh,
                                            shard_embeddings=shard_emb)
     elif dd is not None:
-        train_step = make_device_train_step(mc, tx)
-        scanned_step = (make_scanned_device_train_step(mc, tx, tc.inner_steps)
+        train_step = make_device_train_step(mc, tx, reject_width=rw)
+        scanned_step = (make_scanned_device_train_step(
+                            mc, tx, tc.inner_steps, reject_width=rw)
                         if tc.inner_steps > 1 else None)
-        eval_steps = {m: make_device_eval_step(mc, tc.top_k, m)
+        eval_steps = {m: make_device_eval_step(mc, tc.top_k, m,
+                                               reject_width=rw)
                       for m in ("val", "test")}
         scanned_evals = {m: (make_scanned_device_eval_step(
-                                 mc, tc.top_k, m, tc.inner_steps)
+                                 mc, tc.top_k, m, tc.inner_steps,
+                                 reject_width=rw)
                              if tc.inner_steps > 1 else None)
                          for m in ("val", "test")}
     else:

@@ -177,3 +177,44 @@ def test_device_generated_catalog():
     assert np.isfinite(np.asarray(b["o_c"])).all()
     assert (o >= 0).all() and (o < cat.n_items).all()
     assert np.asarray(b["y_true"]).max() == 1.0
+
+
+def test_exact_rejection_avoids_full_history():
+    """reject_width = hist_max → negatives never collide with ANY item in
+    the user's history (the reference's sampler contract,
+    src/data.py:77-87), including items outside the visible window."""
+    from carca_tpu.data.loaders import Catalog
+
+    # one user, 24-item history over a 30-item catalog, window L=4 —
+    # most of the history is OUTSIDE the window
+    hist = np.asarray([1 + (i % 24) for i in range(24)], np.int32)
+    cat = Catalog(
+        attrs=np.zeros((31, 4), np.float32),
+        user_ids=np.arange(1, dtype=np.int64),
+        items=hist,
+        offsets=np.asarray([0, 24], np.int64),
+        ctx_vals=np.zeros((24, 2), np.float32),
+    )
+    ds = DeviceDataset(cat, seq_len=4, target_len=5, test=True)
+    assert ds.hist_max == 24
+    rows = jnp.asarray([0], jnp.int32)
+    forbidden = set(hist.tolist())
+
+    hit_window_only = False
+    for seed in range(40):
+        b_exact = assemble_train(ds.arrays, 4, cat.n_items, rows,
+                                 jax.random.PRNGKey(seed), reject_width=24)
+        negs = np.asarray(b_exact["o_x"])[0, 4:]
+        assert not (set(negs[negs > 0].tolist()) & forbidden)
+
+        e_exact = assemble_eval(ds.arrays, 4, 5, cat.n_items, "val", rows,
+                                jax.random.PRNGKey(seed), reject_width=24)
+        enegs = np.asarray(e_exact["o_x"])[0, 1:]
+        assert not (set(enegs[enegs > 0].tolist()) & forbidden)
+
+        # sanity: the windowed approximation DOES hit old history items
+        b_win = assemble_train(ds.arrays, 4, cat.n_items, rows,
+                               jax.random.PRNGKey(seed))
+        wnegs = np.asarray(b_win["o_x"])[0, 4:]
+        hit_window_only |= bool(set(wnegs[wnegs > 0].tolist()) & forbidden)
+    assert hit_window_only  # the approximation is observably weaker
