@@ -102,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "vs the user's full history (reference protocol), "
                         "false = visible window only, auto = full history "
                         "when max history <= 4x seq_len")
+    p.add_argument("--checkpoint", type=parse_bool, default=True,
+                   help="false disables all checkpoint IO (benchmark runs)")
     p.add_argument("--checkpoint_interval", type=int, default=1,
                    help="refresh the latest/ resume checkpoint every N "
                         "non-improving epochs (best/ always saves on "
@@ -125,6 +127,7 @@ _PRESET_OVERLAY = {
         "debug_nans": "debug_nans", "profile": "profile",
         "inner_steps": "inner_steps", "shard_embeddings": "shard_embeddings",
         "checkpoint_interval": "checkpoint_interval",
+        "checkpoint": "checkpoint",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
@@ -222,6 +225,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         out_dir=args.out_dir, checkpoint_resume=args.resume,
         debug_nans=args.debug_nans, profile=args.profile,
         inner_steps=args.inner_steps,
+        checkpoint=args.checkpoint,
         checkpoint_interval=args.checkpoint_interval,
         mesh_shape=mesh_shape, mesh_axes=mesh_axes,
         shard_embeddings=args.shard_embeddings,

@@ -154,6 +154,10 @@ class TrainConfig:
     profile: bool = False  # jax.profiler trace annotations
     debug_nans: bool = False  # jax_debug_nans (SURVEY §5 race/NaN checks)
     checkpoint_resume: bool = True
+    # master switch: False disables all checkpoint writes/reads (benchmark
+    # runs — a best-save is ~1 GB of IO at the 10M-item scale); the final
+    # test eval then uses the live end-of-training state
+    checkpoint: bool = True
     # refresh the latest/ resume checkpoint every N non-improving epochs
     # (best/ still saves on every improvement); >1 trades resume granularity
     # for IO at large state sizes (the 10M-item state is ~5 GB/epoch)

@@ -88,8 +88,17 @@ def decoder_apply(
         pw = p * scale[None, :, None]
         ow = o
         if cfg.l2_norm:
-            pw = pw / jnp.maximum(jnp.linalg.norm(pw, axis=-1, keepdims=True), 1e-12)
-            ow = ow / jnp.maximum(jnp.linalg.norm(ow, axis=-1, keepdims=True), 1e-12)
+            # x·rsqrt(Σx²+eps), NOT x/max(‖x‖, eps): the norm's own gradient
+            # at an exactly-zero vector (pad candidates) is 0/0 = NaN, and
+            # 0·NaN poisons the whole backward pass — torch's F.normalize
+            # (src/carca.py:381-384) takes the eps sub-gradient instead, so
+            # the reference never sees this. rsqrt's gradient is finite at 0
+            # and values match to f32 rounding for any non-degenerate vector.
+            def _l2n(x):
+                return x * jax.lax.rsqrt(
+                    jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-12)
+            pw = _l2n(pw)
+            ow = _l2n(ow)
         if train:
             y = jnp.sum(pw * ow, axis=-1)
         else:

@@ -159,7 +159,12 @@ def catalog_topk(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    c = min(chunk, _round_up(r, 128))
+    # the [B, C] fp32 score scratch must fit scoped VMEM (16 MB) next to
+    # the [C, d] catalog tile — cap the chunk so ~10 MB goes to the scratch
+    # (B=256 keeps the full default chunk; B=1024 drops to C=1920; smaller
+    # chunks just mean more grid steps over the same streamed catalog)
+    c_cap = max(512, (2_000_000 // max(b, 1)) // 128 * 128)
+    c = min(chunk, c_cap, _round_up(r, 128))
     rp = _round_up(r, c)
     pad = rp - r
     if pad:

@@ -503,7 +503,7 @@ def fit(
     # model, src/train.py:117-124); tc.checkpoint_resume gates only whether
     # a pre-existing latest/ state is restored
     start_epoch = 1
-    if keeper is None:
+    if keeper is None and tc.checkpoint:
         from carca_tpu.train.checkpoint import CheckpointKeeper
         ckpt_dir = os.path.join(tc.out_dir, "ckpt")
         if not tc.checkpoint_resume and os.path.isdir(ckpt_dir):
@@ -514,7 +514,7 @@ def fit(
             import shutil
             shutil.rmtree(ckpt_dir)
         keeper = CheckpointKeeper(ckpt_dir)
-    if tc.checkpoint_resume:
+    if tc.checkpoint_resume and keeper is not None:
         restored = keeper.restore_latest(state)
         if restored is not None:
             start_epoch = restored[0] + 1

@@ -263,3 +263,31 @@ def test_metrics_nan_scores_rank_last():
     hr, _ = jax.jit(hr_ndcg_sums, static_argnums=2)(
         jnp.full((2, 4), jnp.nan), y_true, 2)
     assert float(hr) == 0.0
+
+
+def test_wdot_l2_norm_grads_finite():
+    """Regression: the cosine (l2_norm) decoder's backward pass NaN'd on
+    exactly-zero candidate embeddings (pad slots) — jnp.linalg.norm's
+    gradient at 0 is 0/0 even under a maximum() guard. Grads must be
+    finite with padded targets present."""
+    cfg = mk_cfg(decoder="wdot", l2_norm=True, n_blocks=1)
+    rng = np.random.default_rng(3)
+    p_x = rng.integers(1, NI, (2, L)).astype(np.int32)
+    o_x = rng.integers(1, NI, (2, L)).astype(np.int32)
+    o_x[:, : L // 2] = 0  # padded candidates → zero embeddings
+    attrs = rng.standard_normal((NI, NA)).astype(np.float32)
+    attrs[0] = 0
+    p_c = rng.standard_normal((2, L, NC)).astype(np.float32)
+    o_c = rng.standard_normal((2, L, NC)).astype(np.float32)
+    params = carca_init(jax.random.PRNGKey(9), cfg)
+
+    def loss(params):
+        y = carca_apply(params, cfg, (p_x, attrs[p_x], p_c),
+                        [(o_x, attrs[o_x], o_c)], train=True,
+                        rng=jax.random.PRNGKey(0))
+        return masked_bce(y, jnp.ones_like(y[..., :]) * 0.5,
+                          get_mask(jnp.asarray(o_x)))
+
+    g = jax.jit(jax.grad(loss))(params)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(path)

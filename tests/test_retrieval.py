@@ -178,3 +178,20 @@ def test_topk_rejects_k_beyond_catalog(setup):
                                 in_decoder_space=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_catalog_topk_large_query_batch():
+    """Regression: the [B, C] score scratch must shrink its chunk when the
+    query batch grows — B=1024 with the default 4096 chunk overflowed the
+    16 MB scoped-VMEM limit on TPU. (Interpret mode can't enforce VMEM;
+    this checks the shrunken-chunk path stays correct.)"""
+    from carca_tpu.ops.retrieval_topk import catalog_topk
+
+    b, n = 1024, 4096
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 16))
+    e = jax.random.normal(jax.random.PRNGKey(1), (n, 16))
+    v, ids = catalog_topk(q, e, 5, n_items=n)
+    scores = (q @ e.T).at[:, 0].set(-jnp.inf)
+    ov, oi = jax.lax.top_k(scores, 5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ov), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(oi))
