@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="row-shard item/attr tables over the mesh 'model' axis")
     p.add_argument("--device_sampling", type=parse_bool, default=False,
                    help="sample train negatives on device (mesh path)")
+    p.add_argument("--neg_distribution", type=str, default="uniform",
+                   choices=("uniform", "popularity"),
+                   help="train negatives (device pipeline): uniform = "
+                        "reference protocol; popularity = empirical unigram")
     p.add_argument("--exact_rejection", type=parse_pallas_flag, default="auto",
                    help="device-pipeline negative rejection: true = reject "
                         "vs the user's full history (reference protocol), "
@@ -111,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_retrieval", type=int, default=0,
                    help="after training, run full-catalog leave-one-out "
                         "retrieval eval at this top-k (dot/wdot decoders)")
+    p.add_argument("--retrieval_index", type=str, default="seen",
+                   choices=("seen", "full"),
+                   help="retrieval index: seen = items with >=1 training "
+                        "event (production posture); full = whole id space")
     return p
 
 
@@ -135,6 +143,7 @@ _PRESET_OVERLAY = {
         "synthetic_items": "synthetic_items",
         "device_sampling": "device_sampling",
         "exact_rejection": "exact_rejection",
+        "neg_distribution": "neg_distribution",
         # the synthetic catalog must be reproducible from args.json alone
         # (carca-serve regenerates it at load time), so the run seed flows
         # into DataConfig.synthetic_seed too
@@ -211,6 +220,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         use_native=args.use_native, device_pipeline=args.device_pipeline,
         device_sampling=args.device_sampling,
         exact_rejection=args.exact_rejection,
+        neg_distribution=args.neg_distribution,
         synthetic=args.synthetic,
         synthetic_users=args.synthetic_users,
         synthetic_items=args.synthetic_items,
@@ -276,7 +286,8 @@ def main(argv: Optional[list] = None) -> None:
             # before the catalog-embedding pass; training is over
             state = None
             metrics.update(evaluate_retrieval(
-                cfg, catalog, params, k=args.eval_retrieval))
+                cfg, catalog, params, k=args.eval_retrieval,
+                seen_only=args.retrieval_index == "seen"))
     print("final:", metrics)
 
 

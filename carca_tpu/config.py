@@ -116,6 +116,12 @@ class DataConfig:
     # dataset's max history length is ≤ 4× seq_len (the all-pairs compare
     # cost is linear in the reject-set width)
     exact_rejection: Any = "auto"
+    # TRAIN negative distribution (device pipeline): "uniform" is the
+    # reference protocol (src/data.py:82); "popularity" draws from the
+    # empirical unigram distribution (a uniform random event's item) —
+    # standard practice for full-catalog retrieval training
+    # (docs/DESIGN.md #11). Eval negatives are always uniform (protocol).
+    neg_distribution: str = "uniform"
     synthetic: bool = False  # deterministic synthetic dataset (tests/bench)
     synthetic_users: int = 2000
     synthetic_items: int = 1000

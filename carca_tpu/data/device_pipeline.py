@@ -101,7 +101,8 @@ def _history_rows(arrays, user_rows: jnp.ndarray, H: int) -> jnp.ndarray:
 
 
 def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
-                   rng: jax.Array, reject_width: int = 0) -> Dict[str, jnp.ndarray]:
+                   rng: jax.Array, reject_width: int = 0,
+                   neg_pop: bool = False) -> Dict[str, jnp.ndarray]:
     """[B] user rows → train batch, entirely on device.
 
     The positive targets are the profile window shifted by one event
@@ -132,7 +133,8 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     reject = (_history_rows(arrays, user_rows, reject_width)
               if reject_width > 0 else w_x)
     negs = device_sample_negatives(rng, reject, n_items, L,
-                                   retries_for(reject.shape[1], n_items))
+                                   retries_for(reject.shape[1], n_items),
+                                   events=arrays["items"] if neg_pop else None)
     o_neg = jnp.where(valid, negs, 0)
 
     o_x = jnp.concatenate([o_pos, o_neg], axis=1)

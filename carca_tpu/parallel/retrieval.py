@@ -153,6 +153,7 @@ def topk_given_queries(
     exclude: Optional[jnp.ndarray] = None,
     use_kernel: bool = True,
     in_decoder_space: bool = False,
+    row_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-device top-k of precomputed queries [B, d] against precomputed
     catalog embeddings [R, d] (rows aligned with item ids; pad rows beyond
@@ -160,26 +161,43 @@ def topk_given_queries(
     [B, E] masks per-user ids (0 entries are no-ops). Pass
     ``in_decoder_space=True`` when ``e`` was already run through
     ``catalog_in_decoder_space`` (serving pre-normalizes once at load time —
-    re-normalizing a 10M-row catalog per request is pure HBM waste)."""
+    re-normalizing a 10M-row catalog per request is pure HBM waste).
+
+    ``row_ids`` [R] makes ``e`` a *compacted* index: row r holds the item
+    with global id ``row_ids[r]`` (row 0 must be the pad, id 0). Returned
+    ids are global; exclusion happens in global id space. This is how a
+    seen-only serving index scores a sub-catalog without reshaping the
+    model's tables (``evaluate_retrieval(seen_only=True)``)."""
     if k > e.shape[0]:
         raise ValueError(
             f"top-k k={k} exceeds the catalog size {e.shape[0]}")
     if not in_decoder_space:
         e = catalog_in_decoder_space(e, cfg)
-    ids = jnp.arange(e.shape[0], dtype=jnp.int32)
+    n_local = e.shape[0] if row_ids is not None else cfg.n_items
     if use_kernel:
         kk = min(k + (exclude.shape[1] if exclude is not None else 0),
                  e.shape[0])
         from carca_tpu.ops.retrieval_topk import catalog_topk
-        v, rid = catalog_topk(q, e, kk, n_items=cfg.n_items)
+        v, rid = catalog_topk(q, e, kk, n_items=n_local)
+        if row_ids is not None:
+            rid = row_ids[rid]
         if exclude is None:
+            if kk > k:
+                v, sel = jax.lax.top_k(v, k)
+                rid = jnp.take_along_axis(rid, sel, axis=1)
             return v, rid
         hit = jnp.any(rid[:, :, None] == exclude[:, None, :], axis=-1)
         v = jnp.where(hit, NEG_INF, v)
         v, sel = jax.lax.top_k(v, k)
         return v, jnp.take_along_axis(rid, sel, axis=1)
+    ids = (row_ids if row_ids is not None
+           else jnp.arange(e.shape[0], dtype=jnp.int32))
     s = _masked_scores(q, e, jnp.where(ids < cfg.n_items, ids, 0), exclude)
-    return jax.lax.top_k(s, k)
+    v, cols = jax.lax.top_k(s, k)
+    if row_ids is not None:
+        return v, jnp.take_along_axis(
+            jnp.broadcast_to(row_ids[None, :], s.shape), cols, axis=1)
+    return v, cols
 
 
 def full_catalog_topk(

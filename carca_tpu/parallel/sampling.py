@@ -45,16 +45,31 @@ def device_sample_negatives(
     n_items: int,
     n_slots: int,
     retries: int = 8,
+    events: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Sample ``[B, n_slots]`` negative ids avoiding ``profile`` [B, L].
 
-    Matches the reference's sampler domain: ``random.randint(1, n_items-1)``
-    is inclusive on both ends (``src/data.py:82``), i.e. uniform over
-    ``{1, …, n_items-1}`` — exactly ``jax.random.randint(…, 1, n_items)``.
+    Default domain matches the reference's sampler:
+    ``random.randint(1, n_items-1)`` is inclusive on both ends
+    (``src/data.py:82``), i.e. uniform over ``{1, …, n_items-1}`` —
+    exactly ``jax.random.randint(…, 1, n_items)``.
+
+    With ``events`` (the CSR event-item array) draws are **popularity-
+    proportional** instead: a uniform random event's item id IS a draw
+    from the empirical unigram distribution — one extra [B·S·R] gather,
+    no CDF table. No reference counterpart (its sampler is uniform-only);
+    this exists because uniform negatives over an extreme-sparsity
+    catalog never teach the model about the items it actually serves
+    (docs/DESIGN.md #11).
     """
     b = profile.shape[0]
-    draws = jax.random.randint(
-        rng, (b, n_slots, retries), 1, n_items, dtype=profile.dtype)
+    if events is not None:
+        eidx = jax.random.randint(
+            rng, (b, n_slots, retries), 0, events.shape[0], jnp.int32)
+        draws = events[eidx].astype(profile.dtype)
+    else:
+        draws = jax.random.randint(
+            rng, (b, n_slots, retries), 1, n_items, dtype=profile.dtype)
     # collision of each draw against the window: [B, S, R] via all-pairs
     # compare (vectorized compare beats a [B, n_items] scatter/gather bitmap
     # on TPU — measured 0.6 vs 1.9 ms/step at B=256, S=50, R=8, L=51)

@@ -129,7 +129,7 @@ def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
 
 def make_sharded_device_train_step(
     mc, tx, mesh: Mesh, *, shard_embeddings: bool = False,
-    inner_steps: int = 1, reject_width: int = 0,
+    inner_steps: int = 1, reject_width: int = 0, neg_pop: bool = False,
 ) -> Callable:
     """Device-pipeline train step over the mesh: (state, attrs_table,
     catalog_arrays, user_rows) → (state, loss).
@@ -151,7 +151,7 @@ def make_sharded_device_train_step(
     def one_step(attrs_table, arrays, state: TrainState, rows):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
         batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
-                               reject_width)
+                               reject_width, neg_pop)
 
         def loss_fn(params):
             o_x, o_c = batch["o_x"], batch["o_c"]

@@ -109,7 +109,8 @@ def make_eval_step(mc, top_k: int) -> Callable:
     return eval_step
 
 
-def make_device_train_step(mc, tx, reject_width: int = 0) -> Callable:
+def make_device_train_step(mc, tx, reject_width: int = 0,
+                           neg_pop: bool = False) -> Callable:
     """Train step with ON-DEVICE batch assembly: (state, attrs_table,
     catalog_arrays, user_rows [B]) → (state, loss). The only per-step
     host→device transfer is the user-row vector (~1 KB) — essential when
@@ -121,7 +122,7 @@ def make_device_train_step(mc, tx, reject_width: int = 0) -> Callable:
     def train_step(state: TrainState, attrs_table, arrays, user_rows):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
         batch = assemble_train(arrays, L, mc.n_items, user_rows, neg_rng,
-                               reject_width)
+                               reject_width, neg_pop)
 
         def loss_fn(params):
             o_x, o_c = batch["o_x"], batch["o_c"]
@@ -145,7 +146,8 @@ def make_device_train_step(mc, tx, reject_width: int = 0) -> Callable:
 
 
 def make_scanned_device_train_step(mc, tx, inner_steps: int,
-                                   reject_width: int = 0) -> Callable:
+                                   reject_width: int = 0,
+                                   neg_pop: bool = False) -> Callable:
     """``inner_steps`` on-device train steps per dispatch via ``lax.scan``:
     (state, attrs_table, catalog_arrays, user_rows [K, B]) → (state,
     losses [K]).
@@ -164,7 +166,7 @@ def make_scanned_device_train_step(mc, tx, inner_steps: int,
         def one_step(state: TrainState, rows):
             rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
             batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
-                                   reject_width)
+                                   reject_width, neg_pop)
 
             def loss_fn(params):
                 o_x, o_c = batch["o_x"], batch["o_c"]
@@ -290,6 +292,7 @@ def evaluate_retrieval(
     mode: str = "test",
     k: Optional[int] = None,
     log: bool = True,
+    seen_only: bool = True,
 ) -> Dict[str, float]:
     """Leave-one-out evaluation against the FULL catalog (BASELINE
     configs[4] protocol; no reference counterpart — its eval samples 100
@@ -298,11 +301,19 @@ def evaluate_retrieval(
     For dot-family decoders: the catalog is embedded once, each user's held
     -out item is ranked among all items (user's visible window excluded),
     and HR@k/NDCG@k of its rank are averaged.
+
+    ``seen_only`` (default) indexes only items with ≥1 training event —
+    the production serving posture: items the model never saw carry random
+    embeddings whose extreme tail swamps real scores at extreme sparsity
+    (measured: 10M-item synthetic, 83% unseen — docs/DESIGN.md #11); a
+    real stack handles cold-start items by content, not by ranking noise.
+    Held-out positives are events, so the protocol stays well-defined.
+    ``seen_only=False`` ranks the entire id space.
     """
     from carca_tpu.data.device_pipeline import DeviceDataset, _profile_slots
-    from carca_tpu.parallel.retrieval import (embed_catalog,
-                                              full_catalog_topk,
-                                              retrieval_hr_ndcg)
+    from carca_tpu.parallel.retrieval import (embed_catalog, queries,
+                                              retrieval_hr_ndcg,
+                                              topk_given_queries)
 
     mc, tc = cfg.model, cfg.train
     k = k or tc.top_k
@@ -315,8 +326,22 @@ def evaluate_retrieval(
     # bf16 catalog embeddings at multi-million-item scale: halves the [N, d]
     # residency (2.56 GB f32 at 10M, d=64) next to the live train params
     emb_dtype = jnp.bfloat16 if mc.n_items >= 4_000_000 else jnp.float32
-    emb = jax.jit(lambda p, a: embed_catalog(p, mc, a, out_dtype=emb_dtype))(
-        params, attrs_table)
+
+    row_ids = None
+    index_note = f"{mc.n_items} ids"
+    if seen_only:
+        counts = np.bincount(np.asarray(dd.arrays["items"]),
+                             minlength=mc.n_items)
+        seen = np.flatnonzero(counts[1:]) + 1  # never index the pad id
+        row_ids = jnp.asarray(np.concatenate([[0], seen]), jnp.int32)
+        index_note = f"{len(seen)}/{mc.n_items - 1} seen items"
+        attrs_rows = attrs_table[row_ids]
+        emb = jax.jit(lambda p, a: embed_catalog(
+            p, mc, a, global_ids=row_ids, out_dtype=emb_dtype))(
+                params, attrs_rows)
+    else:
+        emb = jax.jit(lambda p, a: embed_catalog(
+            p, mc, a, out_dtype=emb_dtype))(params, attrs_table)
 
     @jax.jit
     def batch_metrics(params, attrs_table, emb, user_rows):
@@ -326,9 +351,10 @@ def evaluate_retrieval(
         p_x = jnp.where(valid, arrays["items"][p_evt], 0)
         p_c = arrays["ctx"][p_evt] * valid[..., None]
         pos = jnp.where(alive, arrays["items"][jnp.where(alive, off + e - 1, 0)], 0)
-        _, ids = full_catalog_topk(
-            params, mc, (p_x, None, p_c), attrs_table, k,
-            exclude=p_x, catalog_emb=emb)
+        q = queries(params, mc, (p_x, None, p_c), attrs_table)
+        _, ids = topk_given_queries(
+            q, emb, mc, k, exclude=p_x, row_ids=row_ids,
+            use_kernel=jax.default_backend() == "tpu")
         ids = jnp.where(alive[:, None], ids, -1)  # dead rows never match
         hr, ndcg = retrieval_hr_ndcg(ids, pos, k)
         return hr, ndcg, jnp.sum(alive.astype(jnp.int32))
@@ -347,7 +373,7 @@ def evaluate_retrieval(
     out = {f"retrieval_{mode}_hr": hr / max(total, 1),
            f"retrieval_{mode}_ndcg": ndcg / max(total, 1)}
     if tc.verbose and log:
-        print(f"Retrieval@{k} ({mode}, full catalog): "
+        print(f"Retrieval@{k} ({mode}, index: {index_note}): "
               f"HR = {out[f'retrieval_{mode}_hr']:.4f}, "
               f"NDCG = {out[f'retrieval_{mode}_ndcg']:.4f}")
     return out
@@ -530,6 +556,11 @@ def fit(
     # protocol) unless histories are so long the all-pairs compare would
     # dominate the step
     rw = 0
+    neg_pop = cfg.data.neg_distribution == "popularity"
+    if neg_pop and dd is None:
+        raise ValueError(
+            "neg_distribution='popularity' draws from the HBM-resident "
+            "event array — it requires device_pipeline=true")
     if dd is not None:
         er = cfg.data.exact_rejection
         if er is True or (er == "auto" and dd.hist_max <= 4 * mc.seq_len):
@@ -542,10 +573,12 @@ def fit(
         from carca_tpu.parallel.step import (
             make_sharded_device_eval_step, make_sharded_device_train_step)
         train_step = make_sharded_device_train_step(
-            mc, tx, mesh, shard_embeddings=shard_emb, reject_width=rw)
+            mc, tx, mesh, shard_embeddings=shard_emb, reject_width=rw,
+            neg_pop=neg_pop)
         scanned_step = (make_sharded_device_train_step(
                             mc, tx, mesh, shard_embeddings=shard_emb,
-                            inner_steps=tc.inner_steps, reject_width=rw)
+                            inner_steps=tc.inner_steps, reject_width=rw,
+                            neg_pop=neg_pop)
                         if tc.inner_steps > 1 else None)
         eval_steps = {m: make_sharded_device_eval_step(
                           mc, tc.top_k, mesh, m, shard_embeddings=shard_emb,
@@ -566,9 +599,11 @@ def fit(
         eval_step = make_sharded_eval_step(mc, tc.top_k, mesh,
                                            shard_embeddings=shard_emb)
     elif dd is not None:
-        train_step = make_device_train_step(mc, tx, reject_width=rw)
+        train_step = make_device_train_step(mc, tx, reject_width=rw,
+                                            neg_pop=neg_pop)
         scanned_step = (make_scanned_device_train_step(
-                            mc, tx, tc.inner_steps, reject_width=rw)
+                            mc, tx, tc.inner_steps, reject_width=rw,
+                            neg_pop=neg_pop)
                         if tc.inner_steps > 1 else None)
         eval_steps = {m: make_device_eval_step(mc, tc.top_k, m,
                                                reject_width=rw)

@@ -218,3 +218,32 @@ def test_exact_rejection_avoids_full_history():
         wnegs = np.asarray(b_win["o_x"])[0, 4:]
         hit_window_only |= bool(set(wnegs[wnegs > 0].tolist()) & forbidden)
     assert hit_window_only  # the approximation is observably weaker
+
+
+def test_popularity_negative_sampling():
+    """neg_pop draws from the empirical unigram distribution (a uniform
+    random event's item id): frequent items appear as negatives far more
+    often than rare ones, the reject set is still honored, and eval
+    negatives remain uniform (reference protocol)."""
+    cat = synthetic_catalog(n_users=400, n_real_items=5000, seed=9)
+    ds = DeviceDataset(cat, seq_len=8, target_len=10, test=True)
+    rows = jnp.asarray(ds.users("train")[:64], jnp.int32)
+
+    counts = np.zeros(cat.n_items, np.int64)
+    for seed in range(30):
+        b = assemble_train(ds.arrays, 8, cat.n_items, rows,
+                           jax.random.PRNGKey(seed), reject_width=ds.hist_max,
+                           neg_pop=True)
+        o = np.asarray(b["o_x"])[:, 8:]
+        np.add.at(counts, o[o > 0], 1)
+        # rejection still holds per row
+        hist = np.asarray(cat.items[cat.offsets[int(rows[0])]:
+                                    cat.offsets[int(rows[0]) + 1]])
+        assert not (set(o[0][o[0] > 0].tolist()) & set(hist.tolist()))
+
+    ev_counts = np.bincount(np.asarray(cat.items), minlength=cat.n_items)
+    popular = np.argsort(-ev_counts)[:50]
+    rare = np.where(ev_counts == 0)[0]
+    # items with zero events can never be drawn; popular ones dominate
+    assert counts[rare].sum() == 0
+    assert counts[popular].sum() > 0.3 * counts.sum()

@@ -195,3 +195,58 @@ def test_catalog_topk_large_query_batch():
     ov, oi = jax.lax.top_k(scores, 5)
     np.testing.assert_allclose(np.asarray(v), np.asarray(ov), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(oi))
+
+
+def test_seen_only_index_matches_full_on_covered_catalog():
+    """When every item appears in training, the seen-only index is the full
+    catalog — metrics must agree exactly; with most items unseen, the
+    compacted index must return only seen ids."""
+    from carca_tpu.config import Config, TrainConfig
+    from carca_tpu.models.carca import carca_init
+    from carca_tpu.train.loop import evaluate_retrieval
+
+    cat = synthetic_catalog(n_users=300, n_real_items=80, seed=4)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=10,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="dot")
+    cfg = Config(model=mc, train=TrainConfig(batch_size=32))
+    params = carca_init(jax.random.PRNGKey(0), mc)
+    full = evaluate_retrieval(cfg, cat, params, log=False, seen_only=False)
+    seen = evaluate_retrieval(cfg, cat, params, log=False, seen_only=True)
+    ev = np.bincount(np.asarray(cat.items), minlength=cat.n_items)
+    if (ev[1:] > 0).all():  # fully covered catalog → identical metrics
+        for key in full:
+            np.testing.assert_allclose(seen[key], full[key], atol=1e-6)
+
+
+def test_seen_only_index_excludes_unseen_items():
+    from carca_tpu.config import Config, TrainConfig
+    from carca_tpu.data.device_pipeline import DeviceDataset
+    from carca_tpu.models.carca import carca_init
+    from carca_tpu.parallel.retrieval import (embed_catalog, queries,
+                                              topk_given_queries)
+
+    # sparse: 3000 items, few users → most items unseen
+    cat = synthetic_catalog(n_users=60, n_real_items=3000, seed=6)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=10,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="dot")
+    params = carca_init(jax.random.PRNGKey(1), mc)
+    attrs = jnp.asarray(cat.attrs)
+    counts = np.bincount(np.asarray(cat.items), minlength=cat.n_items)
+    seen = np.flatnonzero(counts[1:]) + 1
+    assert len(seen) < cat.n_items // 2
+    row_ids = jnp.asarray(np.concatenate([[0], seen]), jnp.int32)
+    emb = embed_catalog(params, mc, attrs[row_ids], global_ids=row_ids)
+
+    ds = DeviceDataset(cat, 8, 10)
+    rows = jnp.asarray(ds.users("test")[:16], jnp.int32)
+    from carca_tpu.data.device_pipeline import _profile_slots
+    p_evt, valid, *_ = _profile_slots(ds.arrays, "test", rows, 8)
+    p_x = jnp.where(valid, ds.arrays["items"][p_evt], 0)
+    p_c = ds.arrays["ctx"][p_evt] * valid[..., None]
+    q = queries(params, mc, (p_x, None, p_c), attrs)
+    _, ids = topk_given_queries(q, emb, mc, 5, exclude=p_x, row_ids=row_ids,
+                                use_kernel=False)
+    got = set(np.asarray(ids).ravel().tolist())
+    assert got <= set(seen.tolist())  # only seen items ever returned
