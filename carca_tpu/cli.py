@@ -109,9 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", type=parse_bool, default=True,
                    help="false disables all checkpoint IO (benchmark runs)")
     p.add_argument("--checkpoint_interval", type=int, default=1,
-                   help="refresh the latest/ resume checkpoint every N "
-                        "non-improving epochs (best/ always saves on "
-                        "improvement); >1 cuts IO at large state sizes")
+                   help="refresh the latest/ full-state resume checkpoint "
+                        "every N-th epoch (plus the first); best/ (params "
+                        "only) always saves on improvement")
     p.add_argument("--eval_retrieval", type=int, default=0,
                    help="after training, run full-catalog leave-one-out "
                         "retrieval eval at this top-k (dot/wdot decoders)")

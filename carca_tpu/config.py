@@ -164,9 +164,10 @@ class TrainConfig:
     # runs — a best-save is ~1 GB of IO at the 10M-item scale); the final
     # test eval then uses the live end-of-training state
     checkpoint: bool = True
-    # refresh the latest/ resume checkpoint every N non-improving epochs
-    # (best/ still saves on every improvement); >1 trades resume granularity
-    # for IO at large state sizes (the 10M-item state is ~5 GB/epoch)
+    # refresh the latest/ full-state resume checkpoint every N-th epoch
+    # (plus the first epoch of a run); best/ (params only) still saves on
+    # every improvement. >1 trades resume granularity for IO at large
+    # state sizes (the 10M-item full state is ~5 GB/save)
     checkpoint_interval: int = 1
 
 

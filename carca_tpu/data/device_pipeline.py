@@ -132,9 +132,10 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     # cost is linear in the reject-set width)
     reject = (_history_rows(arrays, user_rows, reject_width)
               if reject_width > 0 else w_x)
-    negs = device_sample_negatives(rng, reject, n_items, L,
-                                   retries_for(reject.shape[1], n_items),
-                                   events=arrays["items"] if neg_pop else None)
+    negs = device_sample_negatives(
+        rng, reject, n_items, L,
+        retries_for(reject.shape[1], n_items, popularity=neg_pop),
+        events=arrays["items"] if neg_pop else None)
     o_neg = jnp.where(valid, negs, 0)
 
     o_x = jnp.concatenate([o_pos, o_neg], axis=1)

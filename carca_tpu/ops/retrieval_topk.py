@@ -160,10 +160,14 @@ def catalog_topk(
         interpret = jax.default_backend() != "tpu"
 
     # the [B, C] fp32 score scratch must fit scoped VMEM (16 MB) next to
-    # the [C, d] catalog tile — cap the chunk so ~10 MB goes to the scratch
+    # the [C, d] catalog tile — cap the chunk so ~8 MB goes to the scratch
     # (B=256 keeps the full default chunk; B=1024 drops to C=1920; smaller
     # chunks just mean more grid steps over the same streamed catalog)
-    c_cap = max(512, (2_000_000 // max(b, 1)) // 128 * 128)
+    if b > 16384:
+        raise ValueError(
+            f"query batch {b} needs a >8 MB VMEM score scratch even at the "
+            f"minimum 128-column chunk; split the query batch instead")
+    c_cap = max(128, (2_000_000 // max(b, 1)) // 128 * 128)
     c = min(chunk, c_cap, _round_up(r, 128))
     rp = _round_up(r, c)
     pad = rp - r

@@ -181,10 +181,7 @@ def topk_given_queries(
         v, rid = catalog_topk(q, e, kk, n_items=n_local)
         if row_ids is not None:
             rid = row_ids[rid]
-        if exclude is None:
-            if kk > k:
-                v, sel = jax.lax.top_k(v, k)
-                rid = jnp.take_along_axis(rid, sel, axis=1)
+        if exclude is None:  # then kk == k — nothing to re-rank
             return v, rid
         hit = jnp.any(rid[:, :, None] == exclude[:, None, :], axis=-1)
         v = jnp.where(hit, NEG_INF, v)

@@ -23,16 +23,26 @@ import jax
 import jax.numpy as jnp
 
 
-def retries_for(reject_width: int, n_items: int) -> int:
+def retries_for(reject_width: int, n_items: int,
+                popularity: bool = False) -> int:
     """Retry count making the all-draws-collide fallback negligible.
 
-    Collision probability per draw is ≤ reject_width/(n_items − 1); pick R
-    so p^R ≤ 1e−12. Production catalogs (≥100k items) stay at the default
-    8; only tiny catalogs with wide reject sets (tests, toy runs) pay for
-    more draws. Capped at 64 — beyond that the reject set nearly covers
-    the catalog and rejection sampling is the wrong tool anyway.
+    Uniform draws: collision probability per draw is ≤
+    reject_width/(n_items − 1); pick R so p^R ≤ 1e−12. Production catalogs
+    (≥100k items) stay at the default 8; only tiny catalogs with wide
+    reject sets (tests, toy runs) pay for more draws. Capped at 64 —
+    beyond that the reject set nearly covers the catalog and rejection
+    sampling is the wrong tool anyway.
+
+    Popularity draws collide with the (popularity-biased) history at a
+    rate independent of catalog size — a history of popular items can
+    carry tens of percent of the unigram mass — so the bound uses a
+    pessimistic p = 0.35 floor (R = 24, p^R < 1e−12) instead of the
+    uniform estimate.
     """
     p = min(reject_width / max(n_items - 1, 1), 0.999)
+    if popularity:
+        p = max(p, 0.35)
     if p <= 0.03:  # 0.03^8 < 1e-12
         return 8
     return max(8, min(64, math.ceil(-12.0 / math.log10(p))))

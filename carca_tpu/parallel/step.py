@@ -17,22 +17,19 @@ lacks entirely (SURVEY.md §2.3).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from carca_tpu.models.carca import carca_apply
 from carca_tpu.models.embeddings import _default_lookup
-from carca_tpu.models.losses import masked_bce
 from carca_tpu.parallel.embedding import make_sharded_lookup
 from carca_tpu.parallel.mesh import batch_shardings, param_shardings, table_sharding
 from carca_tpu.parallel.sampling import device_sample_negatives
-from carca_tpu.train.metrics import hr_ndcg_sums
+from carca_tpu.train.loop import apply_gradients, eval_metrics, train_loss
 from carca_tpu.train.state import TrainState
-from carca_tpu.utils.masking import get_mask
 
 
 def _lookup_for(mesh: Mesh, shard_embeddings: bool):
@@ -61,35 +58,22 @@ def make_sharded_train_step(
     def train_step(state: TrainState, attrs_table, batch):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
 
-        def loss_fn(params):
-            o_x, o_c = batch["o_x"], batch["o_c"]
-            if device_negatives:
-                o_neg = device_sample_negatives(
-                    neg_rng, batch["p_x"], mc.n_items, L)
-                o_neg = jnp.where(batch["p_x"] > 0, o_neg, 0)
-                targets = [
-                    (o_x[:, :L], None, o_c[:, :L]),
-                    (o_neg, None, o_c[:, :L]),  # negatives inherit pos ctx
-                ]
-                o_all = jnp.concatenate([o_x[:, :L], o_neg], axis=1)
-            else:
-                targets = [
-                    (o_x[:, :L], None, o_c[:, :L]),
-                    (o_x[:, L:], None, o_c[:, L:]),
-                ]
-                o_all = o_x
-            y_pred = carca_apply(
-                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
-                train=True, rng=step_rng, attrs_table=attrs_table,
-                lookup=lookup,
+        if device_negatives:
+            # the host ships only the positive half; negatives are drawn
+            # here (fresh per step) and inherit the positives' contexts
+            o_neg = device_sample_negatives(
+                neg_rng, batch["p_x"], mc.n_items, L)
+            o_neg = jnp.where(batch["p_x"] > 0, o_neg, 0)
+            o_c_pos = batch["o_c"][:, :L]
+            batch = dict(
+                batch,
+                o_x=jnp.concatenate([batch["o_x"][:, :L], o_neg], axis=1),
+                o_c=jnp.concatenate([o_c_pos, o_c_pos], axis=1),
             )
-            return masked_bce(y_pred, batch["y_true"], get_mask(o_all))
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, rng=rng,
-                          step=state.step + 1), loss
+        return apply_gradients(
+            tx, state,
+            lambda p: train_loss(mc, p, batch, step_rng, attrs_table,
+                                 lookup=lookup), rng)
 
     return _jit_sharded(train_step, mc, mesh, shard_embeddings, donate=True)
 
@@ -100,16 +84,8 @@ def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
     lookup = _lookup_for(mesh, shard_embeddings)
 
     def eval_step(params, attrs_table, batch):
-        y_pred = carca_apply(
-            params, mc, (batch["p_x"], None, batch["p_c"]),
-            [(batch["o_x"], None, batch["o_c"])],
-            train=False, attrs_table=attrs_table, lookup=lookup,
-        )
-        mask = get_mask(batch["o_x"])
-        loss = masked_bce(y_pred, batch["y_true"], mask)
-        row_mask = get_mask(batch["o_x"][:, 0])
-        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
-        return hr, ndcg, loss
+        return eval_metrics(mc, top_k, params, batch, attrs_table,
+                            lookup=lookup)
 
     repl = NamedSharding(mesh, P())
 
@@ -152,25 +128,10 @@ def make_sharded_device_train_step(
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
         batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
                                reject_width, neg_pop)
-
-        def loss_fn(params):
-            o_x, o_c = batch["o_x"], batch["o_c"]
-            targets = [
-                (o_x[:, :L], None, o_c[:, :L]),
-                (o_x[:, L:], None, o_c[:, L:]),
-            ]
-            y_pred = carca_apply(
-                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
-                train=True, rng=step_rng, attrs_table=attrs_table,
-                lookup=lookup,
-            )
-            return masked_bce(y_pred, batch["y_true"], get_mask(batch["o_x"]))
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, rng=rng,
-                          step=state.step + 1), loss
+        return apply_gradients(
+            tx, state,
+            lambda p: train_loss(mc, p, batch, step_rng, attrs_table,
+                                 lookup=lookup), rng)
 
     if inner_steps > 1:
         def step(state, attrs_table, arrays, user_rows):
@@ -200,15 +161,8 @@ def make_sharded_device_eval_step(
     def one_eval(params, attrs_table, arrays, rows, rng):
         batch = assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
                               mode, rows, rng, reject_width)
-        y_pred = carca_apply(
-            params, mc, (batch["p_x"], None, batch["p_c"]),
-            [(batch["o_x"], None, batch["o_c"])],
-            train=False, attrs_table=attrs_table, lookup=lookup,
-        )
-        mask = get_mask(batch["o_x"])
-        loss = masked_bce(y_pred, batch["y_true"], mask)
-        row_mask = get_mask(batch["o_x"][:, 0])
-        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+        hr, ndcg, loss = eval_metrics(mc, top_k, params, batch, attrs_table,
+                                      lookup=lookup)
         return hr, ndcg, loss, batch["n_valid"]
 
     if inner_steps > 1:

@@ -95,6 +95,12 @@ class Recommender:
         Remove the user's own (visible-window) items from results.
     batch_buckets:
         Allowed compiled batch sizes; requests are padded up to the nearest.
+    index_ids:
+        Optional global item ids to index (e.g. items with ≥1 event — the
+        seen-items serving posture, docs/DESIGN.md #11). Stage 1 then
+        embeds and streams only those rows (20× less catalog traffic at
+        the 10M preset's sparsity); everything else — reranking, explicit
+        candidate scoring — still covers the full id space.
     """
 
     def __init__(
@@ -107,9 +113,9 @@ class Recommender:
         exclude_history: bool = True,
         batch_buckets: Sequence[int] = (1, 8, 64, 256),
         default_ctx: Optional[np.ndarray] = None,
+        index_ids: Optional[np.ndarray] = None,
     ):
         self.cfg = cfg
-        self.shortlist = min(shortlist, cfg.n_items)
         self.exclude_history = exclude_history
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.params = params
@@ -117,15 +123,32 @@ class Recommender:
         self.default_ctx = (np.zeros((cfg.n_ctx,), np.float32)
                             if default_ctx is None
                             else np.asarray(default_ctx, np.float32))
+        # optional compacted stage-1 index (row 0 = pad id 0): serve only
+        # items that exist / were interacted with — 20× less catalog
+        # streaming at the 10M preset's sparsity (docs/DESIGN.md #11)
+        self.row_ids = None
+        index_size = cfg.n_items
+        if index_ids is not None:
+            ids = np.asarray(index_ids, np.int64)
+            ids = np.unique(ids[(ids > 0) & (ids < cfg.n_items)])
+            self.row_ids = jnp.asarray(np.concatenate([[0], ids]), jnp.int32)
+            index_size = len(ids)
+        self.shortlist = min(shortlist, index_size)
         # catalog embedded (and moved into decoder score space — e.g. the
         # wdot cosine normalization) ONCE at load time; the item tower is
         # query-independent at serving: candidates take the request ctx in
         # the reranker; stage 1 uses the neutral ctx, standard two-tower
         from carca_tpu.parallel.retrieval import catalog_in_decoder_space
-        self.catalog_emb = jax.jit(
-            lambda p, a: catalog_in_decoder_space(embed_catalog(p, cfg, a),
-                                                  cfg)
-        )(params, self.attrs)
+        if self.row_ids is None:
+            self.catalog_emb = jax.jit(
+                lambda p, a: catalog_in_decoder_space(
+                    embed_catalog(p, cfg, a), cfg)
+            )(params, self.attrs)
+        else:
+            self.catalog_emb = jax.jit(
+                lambda p, a, ri: catalog_in_decoder_space(
+                    embed_catalog(p, cfg, a[ri], global_ids=ri), cfg)
+            )(params, self.attrs, self.row_ids)
         self._rerank = cfg.decoder == "ca"
         # per-instance executable caches (a class-level lru_cache would pin
         # retired Recommenders — params + HBM catalog — alive forever)
@@ -137,6 +160,7 @@ class Recommender:
             return self._fns[k]
         cfg, shortlist, rerank = self.cfg, self.shortlist, self._rerank
         exclude = self.exclude_history
+        row_ids = self.row_ids
 
         @jax.jit
         def fn(params, attrs, catalog_emb, p_x, p_c, req_ctx):
@@ -146,7 +170,8 @@ class Recommender:
             n1 = shortlist if rerank else k
             sv, sids = topk_given_queries(
                 q, catalog_emb, cfg, n1,
-                exclude=p_x if exclude else None, in_decoder_space=True)
+                exclude=p_x if exclude else None, in_decoder_space=True,
+                row_ids=row_ids)
             if not rerank:
                 # keep pad/exhausted slots at -inf (sigmoid would fold them
                 # to 0.0, indistinguishable from a real low score)
@@ -190,8 +215,9 @@ class Recommender:
         b = len(histories)
         if self._rerank and k > self.shortlist:
             raise ValueError(f"k={k} exceeds shortlist={self.shortlist}")
-        if k > self.cfg.n_items:
-            raise ValueError(f"k={k} exceeds the catalog ({self.cfg.n_items})")
+        if k > self.catalog_emb.shape[0]:
+            raise ValueError(
+                f"k={k} exceeds the stage-1 index ({self.catalog_emb.shape[0]})")
         bb = self._bucket(b)
         p_x, p_c = pad_histories(histories, self.cfg.seq_len, ctxs,
                                  self.cfg.n_ctx)

@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--no_exclude_history", action="store_true",
                    help="allow already-seen items in results")
+    p.add_argument("--index", choices=("seen", "full"), default="seen",
+                   help="stage-1 retrieval index: seen = items with >=1 "
+                        "catalog event (production posture, far less "
+                        "catalog streaming at high sparsity); full = the "
+                        "whole id space")
     p.add_argument("--max_k", type=int, default=100,
                    help="cap on per-request k (each distinct k compiles one "
                         "executable; the cap bounds that)")
@@ -64,6 +69,18 @@ def load_catalog_for_run(args, cfg):
     gen = synthetic_catalog_device if d.device_pipeline else synthetic_catalog
     return gen(n_users=d.synthetic_users, n_real_items=d.synthetic_items,
                seed=d.synthetic_seed)
+
+
+class _HostCSR:
+    """Host-side copies of the catalog's CSR arrays: per-request history
+    lookups must not slice device arrays (each slice is a dispatch + D2H
+    through the relay — on the latency-critical path)."""
+
+    def __init__(self, cat):
+        self.items = np.asarray(cat.items)
+        self.ctx_vals = np.asarray(cat.ctx_vals)
+        self.offsets = np.asarray(cat.offsets)
+        self.n_users = cat.n_users
 
 
 def _history(cat, user: int):
@@ -100,14 +117,16 @@ def main(argv: Optional[list] = None) -> None:
 
     cfg = config_from_run_dir(args.run_dir)
     cat = load_catalog_for_run(args, cfg)
+    host = _HostCSR(cat)
     rec = load_recommender(
         args.run_dir, cat.attrs, which=args.which,
         shortlist=args.shortlist,
-        exclude_history=not args.no_exclude_history)
+        exclude_history=not args.no_exclude_history,
+        index_ids=np.unique(host.items) if args.index == "seen" else None)
     if args.warmup or args.bench:
         rec.warmup(k=args.k)
     if args.bench:
-        run_bench(rec, cat, args.k, args.iters)
+        run_bench(rec, host, args.k, args.iters)
         return
 
     for line in sys.stdin:
@@ -120,7 +139,7 @@ def main(argv: Optional[list] = None) -> None:
             if "history" in req:
                 hist, ctx = req["history"], req.get("ctx")
             else:
-                hist, ctx = _history(cat, int(req["user"]))
+                hist, ctx = _history(host, int(req["user"]))
             k = max(1, min(int(req.get("k", args.k)), args.max_k))
             ids, scores = rec.recommend(
                 [hist], k=k,

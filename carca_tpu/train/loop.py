@@ -59,32 +59,61 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+
+def train_loss(mc, params, batch, step_rng, attrs_table, lookup=None):
+    """THE train-time loss, shared verbatim by every step variant (single-
+    device, scanned, sharded, device-pipeline): pos/neg target split
+    (``src/train.py:86-88``), forward, masked BCE over [B, 2L] with
+    ``get_mask(o_x)`` (``:92-93``). Single definition = single-vs-multi-
+    chip parity is structural, not copy-kept."""
+    L = mc.seq_len
+    o_x, o_c = batch["o_x"], batch["o_c"]
+    targets = [
+        (o_x[:, :L], None, o_c[:, :L]),
+        (o_x[:, L:], None, o_c[:, L:]),
+    ]
+    kw = {} if lookup is None else {"lookup": lookup}
+    y_pred = carca_apply(
+        params, mc, (batch["p_x"], None, batch["p_c"]), targets,
+        train=True, rng=step_rng, attrs_table=attrs_table, **kw)
+    return masked_bce(y_pred, batch["y_true"], get_mask(o_x))
+
+
+def eval_metrics(mc, top_k, params, batch, attrs_table, lookup=None):
+    """THE eval computation, shared by every eval-step variant: forward on
+    the [B, T+1] candidate block, masked BCE, HR/NDCG sums
+    (``src/train.py:35-53``). Returns (hr, ndcg, loss)."""
+    kw = {} if lookup is None else {"lookup": lookup}
+    y_pred = carca_apply(
+        params, mc, (batch["p_x"], None, batch["p_c"]),
+        [(batch["o_x"], None, batch["o_c"])],
+        train=False, attrs_table=attrs_table, **kw)
+    mask = get_mask(batch["o_x"])
+    loss = masked_bce(y_pred, batch["y_true"], mask)
+    row_mask = get_mask(batch["o_x"][:, 0])  # batch-padding rows
+    hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+    return hr, ndcg, loss
+
+
+def apply_gradients(tx, state, loss_fn, new_rng):
+    """value_and_grad + optimizer update + state roll, shared by every
+    train-step variant."""
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, opt_state=opt_state, rng=new_rng,
+                      step=state.step + 1), loss
+
+
 def make_train_step(mc, tx) -> Callable:
     """Jitted train step: (state, attrs_table, batch) → (state, loss)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, attrs_table, batch):
         rng, step_rng = jax.random.split(state.rng)
-        L = mc.seq_len
-
-        def loss_fn(params):
-            o_x, o_c = batch["o_x"], batch["o_c"]
-            # pos/neg halves (src/train.py:86-88)
-            targets = [
-                (o_x[:, :L], None, o_c[:, :L]),
-                (o_x[:, L:], None, o_c[:, L:]),
-            ]
-            y_pred = carca_apply(
-                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
-                train=True, rng=step_rng, attrs_table=attrs_table,
-            )
-            return masked_bce(y_pred, batch["y_true"], get_mask(batch["o_x"]))
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, rng=rng,
-                          step=state.step + 1), loss
+        return apply_gradients(
+            tx, state,
+            lambda p: train_loss(mc, p, batch, step_rng, attrs_table), rng)
 
     return train_step
 
@@ -95,16 +124,7 @@ def make_eval_step(mc, top_k: int) -> Callable:
 
     @jax.jit
     def eval_step(params, attrs_table, batch):
-        y_pred = carca_apply(
-            params, mc, (batch["p_x"], None, batch["p_c"]),
-            [(batch["o_x"], None, batch["o_c"])],
-            train=False, attrs_table=attrs_table,
-        )
-        mask = get_mask(batch["o_x"])
-        loss = masked_bce(y_pred, batch["y_true"], mask)
-        row_mask = get_mask(batch["o_x"][:, 0])  # batch-padding rows
-        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
-        return hr, ndcg, loss
+        return eval_metrics(mc, top_k, params, batch, attrs_table)
 
     return eval_step
 
@@ -123,24 +143,9 @@ def make_device_train_step(mc, tx, reject_width: int = 0,
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
         batch = assemble_train(arrays, L, mc.n_items, user_rows, neg_rng,
                                reject_width, neg_pop)
-
-        def loss_fn(params):
-            o_x, o_c = batch["o_x"], batch["o_c"]
-            targets = [
-                (o_x[:, :L], None, o_c[:, :L]),
-                (o_x[:, L:], None, o_c[:, L:]),
-            ]
-            y_pred = carca_apply(
-                params, mc, (batch["p_x"], None, batch["p_c"]), targets,
-                train=True, rng=step_rng, attrs_table=attrs_table,
-            )
-            return masked_bce(y_pred, batch["y_true"], get_mask(batch["o_x"]))
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state, rng=rng,
-                          step=state.step + 1), loss
+        return apply_gradients(
+            tx, state,
+            lambda p: train_loss(mc, p, batch, step_rng, attrs_table), rng)
 
     return train_step
 
@@ -167,26 +172,10 @@ def make_scanned_device_train_step(mc, tx, inner_steps: int,
             rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
             batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
                                    reject_width, neg_pop)
-
-            def loss_fn(params):
-                o_x, o_c = batch["o_x"], batch["o_c"]
-                targets = [
-                    (o_x[:, :L], None, o_c[:, :L]),
-                    (o_x[:, L:], None, o_c[:, L:]),
-                ]
-                y_pred = carca_apply(
-                    params, mc, (batch["p_x"], None, batch["p_c"]), targets,
-                    train=True, rng=step_rng, attrs_table=attrs_table,
-                )
-                return masked_bce(y_pred, batch["y_true"],
-                                  get_mask(batch["o_x"]))
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params=params, opt_state=opt_state, rng=rng,
-                              step=state.step + 1), loss
+            return apply_gradients(
+                tx, state,
+                lambda p: train_loss(mc, p, batch, step_rng, attrs_table),
+                rng)
 
         return jax.lax.scan(one_step, state, user_rows, length=inner_steps)
 
@@ -203,15 +192,7 @@ def make_device_eval_step(mc, top_k: int, mode: str,
     def eval_step(params, attrs_table, arrays, user_rows, rng):
         batch = assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
                               mode, user_rows, rng, reject_width)
-        y_pred = carca_apply(
-            params, mc, (batch["p_x"], None, batch["p_c"]),
-            [(batch["o_x"], None, batch["o_c"])],
-            train=False, attrs_table=attrs_table,
-        )
-        mask = get_mask(batch["o_x"])
-        loss = masked_bce(y_pred, batch["y_true"], mask)
-        row_mask = get_mask(batch["o_x"][:, 0])
-        hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+        hr, ndcg, loss = eval_metrics(mc, top_k, params, batch, attrs_table)
         return hr, ndcg, loss, batch["n_valid"]
 
     return eval_step
@@ -231,15 +212,8 @@ def make_scanned_device_eval_step(mc, top_k: int, mode: str,
             rows, key = xs
             batch = assemble_eval(arrays, mc.seq_len, mc.target_len,
                                   mc.n_items, mode, rows, key, reject_width)
-            y_pred = carca_apply(
-                params, mc, (batch["p_x"], None, batch["p_c"]),
-                [(batch["o_x"], None, batch["o_c"])],
-                train=False, attrs_table=attrs_table,
-            )
-            mask = get_mask(batch["o_x"])
-            loss = masked_bce(y_pred, batch["y_true"], mask)
-            row_mask = get_mask(batch["o_x"][:, 0])
-            hr, ndcg = hr_ndcg_sums(y_pred, batch["y_true"], top_k, row_mask)
+            hr, ndcg, loss = eval_metrics(mc, top_k, params, batch,
+                                          attrs_table)
             return None, (hr, ndcg, loss, batch["n_valid"])
 
         _, out = jax.lax.scan(body, None, (user_rows, keys),
@@ -330,7 +304,19 @@ def evaluate_retrieval(
     row_ids = None
     index_note = f"{mc.n_items} ids"
     if seen_only:
-        counts = np.bincount(np.asarray(dd.arrays["items"]),
+        # count TRAINING events only: each user's held-out val/test tail
+        # (last 2 events when test=True, else 1 — src/data.py:59-72) is
+        # excluded, so an item occurring solely as a held-out positive is
+        # NOT indexed (it was never trained on, and counting it would leak
+        # held-out information into the index)
+        items_np = np.asarray(dd.arrays["items"])
+        offsets = np.asarray(catalog.offsets)
+        holdout = 2 if tc.test else 1
+        pos_in_user = np.arange(len(items_np)) - np.repeat(
+            offsets[:-1], np.diff(offsets))
+        train_len = np.repeat(np.maximum(np.diff(offsets) - holdout, 0),
+                              np.diff(offsets))
+        counts = np.bincount(items_np[pos_in_user < train_len],
                              minlength=mc.n_items)
         seen = np.flatnonzero(counts[1:]) + 1  # never index the pad id
         row_ids = jnp.asarray(np.concatenate([[0], seen]), jnp.int32)
@@ -722,8 +708,11 @@ def fit(
         else:
             no_improve += 1
         # resume point (full state incl. optimizer moments) on its own
-        # cadence — best/ is params-only, so it can't serve as one
-        if keeper is not None and epoch % max(tc.checkpoint_interval, 1) == 0:
+        # cadence — best/ is params-only, so it can't serve as one. The
+        # first epoch always saves so a fresh run never has a zero-resume
+        # window (interval=10 would otherwise leave epochs 1-9 unprotected)
+        if keeper is not None and (epoch % max(tc.checkpoint_interval, 1) == 0
+                                   or epoch == start_epoch):
             keeper.save_latest(epoch, state)
 
         now = datetime.now().strftime("%H:%M:%S")

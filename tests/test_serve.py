@@ -184,5 +184,29 @@ def test_small_catalog_pad_slots_and_k_validation(cat):
     finite = np.isfinite(scores[0])
     window = np.asarray(hist[-mc.seq_len:])  # visible-window exclusion
     assert not np.isin(ids[0][finite], window).any()
-    with pytest.raises(ValueError, match="exceeds the catalog"):
+    with pytest.raises(ValueError, match="exceeds the stage-1 index"):
         rec.recommend([hist], k=N_ITEMS + 5)
+
+
+def test_seen_index_recommender_matches_full_on_seen_items():
+    """A Recommender with index_ids returns only indexed items, and where
+    the full-index result is itself a seen item the two agree (dot decoder:
+    stage 1 IS the decoder, so scores are directly comparable)."""
+    cat = synthetic_catalog(n_users=150, n_real_items=N_ITEMS - 1, seed=11)
+    mc = make_model("dot", cat)
+    params = carca_init(jax.random.PRNGKey(4), mc)
+    seen = np.unique(np.asarray(cat.items))
+    full = Recommender(params, mc, cat.attrs, batch_buckets=(4,))
+    sub = Recommender(params, mc, cat.attrs, batch_buckets=(4,),
+                      index_ids=seen)
+    hists = histories_of(cat, [0, 1, 2, 3])
+    ids_f, v_f = full.recommend(hists, k=5)
+    ids_s, v_s = sub.recommend(hists, k=5)
+    seen_set = set(seen.tolist())
+    for r in range(4):
+        fin = np.isfinite(v_s[r])
+        assert set(ids_s[r][fin].tolist()) <= seen_set
+        # rows where the full top-5 is entirely seen must match exactly
+        if set(ids_f[r].tolist()) <= seen_set and np.isfinite(v_f[r]).all():
+            np.testing.assert_array_equal(ids_s[r], ids_f[r])
+            np.testing.assert_allclose(v_s[r], v_f[r], rtol=1e-5)
