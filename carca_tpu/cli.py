@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "vs the user's full history (reference protocol), "
                         "false = visible window only, auto = full history "
                         "when max history <= 4x seq_len")
+    p.add_argument("--sparse_items_adam", type=parse_pallas_flag,
+                   default="auto",
+                   help="lazy row-sparse Adam for the item table (device "
+                        "pipeline, single chip): true | false | auto "
+                        "(>=1M-item catalogs)")
     p.add_argument("--checkpoint", type=parse_bool, default=True,
                    help="false disables all checkpoint IO (benchmark runs)")
     p.add_argument("--checkpoint_interval", type=int, default=1,
@@ -136,6 +141,7 @@ _PRESET_OVERLAY = {
         "inner_steps": "inner_steps", "shard_embeddings": "shard_embeddings",
         "checkpoint_interval": "checkpoint_interval",
         "checkpoint": "checkpoint",
+        "sparse_items_adam": "sparse_items_adam",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
@@ -236,6 +242,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         debug_nans=args.debug_nans, profile=args.profile,
         inner_steps=args.inner_steps,
         checkpoint=args.checkpoint,
+        sparse_items_adam=args.sparse_items_adam,
         checkpoint_interval=args.checkpoint_interval,
         mesh_shape=mesh_shape, mesh_axes=mesh_axes,
         shard_embeddings=args.shard_embeddings,

@@ -169,6 +169,12 @@ class TrainConfig:
     # every improvement. >1 trades resume granularity for IO at large
     # state sizes (the 10M-item full state is ~5 GB/save)
     checkpoint_interval: int = 1
+    # lazy (row-sparse) Adam for the item-embedding table on the device-
+    # pipeline path: True | False | "auto" (on for >=1M-item catalogs,
+    # single-chip). Removes the dense table+moments HBM sweep from every
+    # step (~13 GB at 10M items); untouched rows skip moment decay — the
+    # standard LazyAdam/SparseAdam trade. See train/sparse_adam.py.
+    sparse_items_adam: Any = "auto"
 
 
 @dataclass(frozen=True)

@@ -54,13 +54,26 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 def create_train_state(
     rng: jax.Array, mc: ModelConfig, tc: TrainConfig,
     tx: optax.GradientTransformation | None = None,
+    sparse_items: bool = False,
 ) -> TrainState:
+    """``sparse_items`` splits the optimizer state: the dense optax chain
+    covers everything except the item table, which gets the lazy row-Adam
+    moments (train/sparse_adam.py). The step functions must be built with
+    the same flag."""
     k_init, k_run = jax.random.split(rng)
     params = carca_init(k_init, mc)
     tx = tx or make_optimizer(tc)
+    if sparse_items:
+        from carca_tpu.train import sparse_adam
+        opt_state = {
+            "dense": tx.init(sparse_adam.without_items(params)),
+            "items": sparse_adam.init_state(params["embed"]["items"]),
+        }
+    else:
+        opt_state = tx.init(params)
     return TrainState(
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         rng=k_run,
         step=jnp.zeros((), jnp.int32),
     )

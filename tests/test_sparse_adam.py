@@ -1,0 +1,99 @@
+"""Lazy row-sparse item-table Adam (train/sparse_adam.py): from zero
+moments a sparse step is exactly a dense step (untouched rows keep zero
+moments in both), so single-step parity is tight; divergence is limited
+to the documented skipped decay of touched-then-untouched rows."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from carca_tpu.data.device_pipeline import DeviceDataset
+from carca_tpu.data.synthetic import synthetic_catalog
+from carca_tpu.train.loop import (fit, make_device_train_step,
+                                  make_scanned_device_train_step)
+from carca_tpu.train.state import create_train_state, make_optimizer
+
+
+def _setup(pack=False, n_items=400):
+    cat = synthetic_catalog(n_users=200, n_real_items=n_items - 1, seed=2)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="dot",
+                     pack_tables=pack)
+    tc = TrainConfig(batch_size=32)
+    tx = make_optimizer(tc)
+    dd = DeviceDataset(cat, mc.seq_len, mc.target_len)
+    attrs = jnp.asarray(cat.attrs)
+    rows = jnp.asarray(dd.users("train")[:32], jnp.int32)
+    return cat, mc, tc, tx, dd, attrs, rows
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_single_step_matches_dense(pack):
+    cat, mc, tc, tx, dd, attrs, rows = _setup(pack)
+    s_dense = create_train_state(jax.random.PRNGKey(1), mc, tc, tx)
+    s_sparse = create_train_state(jax.random.PRNGKey(1), mc, tc, tx,
+                                  sparse_items=True)
+    if pack:
+        assert s_sparse.params["embed"]["items"].shape[-1] > mc.d
+
+    dense = make_device_train_step(mc, tx)
+    sparse = make_device_train_step(mc, tx, sparse_items=True, tc=tc)
+    s_dense, l0 = dense(s_dense, attrs, dd.arrays, rows)
+    s_sparse, l1 = sparse(s_sparse, attrs, dd.arrays, rows)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_dense.params),
+            jax.tree_util.tree_leaves_with_path(s_sparse.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_multistep_trains_and_untouched_rows_frozen():
+    cat, mc, tc, tx, dd, attrs, rows_all = _setup(n_items=2000)
+    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx,
+                               sparse_items=True)
+    table0 = np.asarray(state.params["embed"]["items"])
+    step = make_scanned_device_train_step(mc, tx, 4, sparse_items=True,
+                                          tc=tc)
+    users = dd.users("train")
+    losses = []
+    touched = set()
+    for k in range(3):
+        chunk = np.stack([users[(4 * k + i) * 8 % len(users):][:32]
+                          for i in range(4)])
+        # track ids that can be touched (profiles + any sampled negative)
+        state, ls = step(state, attrs, dd.arrays,
+                         jnp.asarray(chunk, jnp.int32))
+        losses.append(float(jnp.mean(ls)))
+    assert losses[-1] < losses[0]
+    table1 = np.asarray(state.params["embed"]["items"])
+    # items that never occur in ANY profile can still be drawn as
+    # negatives, so just check many rows stayed bit-identical (most of a
+    # 2000-item catalog is untouched by 12 batches of 32 users)
+    unchanged = np.all(table0 == table1, axis=-1).mean()
+    assert unchanged > 0.1
+    assert int(state.opt_state["items"]["count"]) == 12
+
+
+def test_fit_end_to_end_sparse(tmp_path):
+    cat = synthetic_catalog(n_users=150, n_real_items=120, seed=5)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.1, decoder="dot")
+    cfg = Config(model=mc, data=DataConfig(device_pipeline=True),
+                 train=TrainConfig(batch_size=16, epochs=2, inner_steps=2,
+                                   sparse_items_adam=True,
+                                   out_dir=str(tmp_path / "s")))
+    _, m = fit(cfg, cat, log=False)
+    assert np.isfinite(m["val_loss"]) and m["val_hr"] > 0
+    # resume restores the split opt-state structure
+    cfg2 = Config(model=mc, data=cfg.data,
+                  train=TrainConfig(batch_size=16, epochs=3, inner_steps=2,
+                                    sparse_items_adam=True,
+                                    out_dir=str(tmp_path / "s")))
+    _, m2 = fit(cfg2, cat, log=False)
+    assert m2["epochs_run"] == 3
