@@ -99,9 +99,10 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_shardings(batch, mesh))
 
 
-def prepare_state_for_mesh(state, mesh: Mesh, tx):
+def prepare_state_for_mesh(state, mesh: Mesh, tx, sparse_items: bool = False):
     """Pad embedding tables to row-shard evenly over ``model`` and rebuild
-    the optimizer state to match. Call once before training starts (resume
+    the optimizer state to match (split dense/sparse structure when the
+    lazy item-table Adam is on). Call once before training starts (resume
     checkpoints then carry padded shapes already)."""
     if mesh.shape.get("model", 1) == 1:
         return state
@@ -112,7 +113,13 @@ def prepare_state_for_mesh(state, mesh: Mesh, tx):
         return leaf
 
     params = jax.tree_util.tree_map_with_path(pad, state.params)
-    return state.replace(params=params, opt_state=tx.init(params))
+    if sparse_items:
+        from carca_tpu.train import sparse_adam as sa
+        opt_state = {"dense": tx.init(sa.without_items(params)),
+                     "items": sa.init_state(params["embed"]["items"])}
+    else:
+        opt_state = tx.init(params)
+    return state.replace(params=params, opt_state=opt_state)
 
 
 def pad_table_rows(table, mesh: Mesh):

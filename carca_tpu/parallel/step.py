@@ -28,7 +28,8 @@ from carca_tpu.models.embeddings import _default_lookup
 from carca_tpu.parallel.embedding import make_sharded_lookup
 from carca_tpu.parallel.mesh import batch_shardings, param_shardings, table_sharding
 from carca_tpu.parallel.sampling import device_sample_negatives
-from carca_tpu.train.loop import apply_gradients, eval_metrics, train_loss
+from carca_tpu.train.loop import (_sparse_device_update, apply_gradients,
+                                  eval_metrics, train_loss)
 from carca_tpu.train.state import TrainState
 
 
@@ -106,6 +107,7 @@ def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
 def make_sharded_device_train_step(
     mc, tx, mesh: Mesh, *, shard_embeddings: bool = False,
     inner_steps: int = 1, reject_width: int = 0, neg_pop: bool = False,
+    sparse_items: bool = False, tc=None,
 ) -> Callable:
     """Device-pipeline train step over the mesh: (state, attrs_table,
     catalog_arrays, user_rows) → (state, loss).
@@ -128,6 +130,11 @@ def make_sharded_device_train_step(
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
         batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
                                reject_width, neg_pop)
+        if sparse_items:
+            # the sub-table gather/scatter is partitioned by XLA SPMD over
+            # the row-sharded table; attrs lookups keep the shard_map path
+            return _sparse_device_update(mc, tc, tx, state, batch, step_rng,
+                                         rng, attrs_table, base_lookup=lookup)
         return apply_gradients(
             tx, state,
             lambda p: train_loss(mc, p, batch, step_rng, attrs_table,

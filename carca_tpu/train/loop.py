@@ -130,7 +130,7 @@ def make_eval_step(mc, top_k: int) -> Callable:
 
 
 def _sparse_device_update(mc, tc, tx, state, batch, step_rng, rng,
-                          attrs_table):
+                          attrs_table, base_lookup=None):
     """Device-pipeline train update with the lazy row-sparse item-table
     Adam (train/sparse_adam.py): differentiates w.r.t. the gathered
     sub-table so no dense [R, W] gradient materializes, updates dense
@@ -147,7 +147,7 @@ def _sparse_device_update(mc, tc, tx, state, batch, step_rng, rng,
     uphys, posmap = sa.touched_physical_rows(batch, pack, table.shape[0],
                                              cap)
     sub = table[jnp.minimum(uphys, table.shape[0] - 1)]
-    lookup = sa.make_sub_lookup(posmap, pack, sub.shape)
+    lookup = sa.make_sub_lookup(posmap, pack, sub.shape, base_lookup)
 
     def loss_fn(p):
         return train_loss(mc, p, batch, step_rng, attrs_table, lookup=lookup)
@@ -545,10 +545,7 @@ def fit(
         and tc.batch_size <= 512)
     if sparse_items and not cfg.data.device_pipeline:
         raise ValueError("sparse_items_adam requires device_pipeline=true")
-    if sparse_items and tc.mesh_shape and int(np.prod(tc.mesh_shape)) > 1:
-        raise ValueError(
-            "sparse_items_adam is single-chip for now; the mesh path "
-            "row-shards the table and keeps dense Adam")
+
     if state is None:
         state = create_train_state(jax.random.PRNGKey(tc.seed), mc, tc, tx,
                                    sparse_items=sparse_items)
@@ -570,7 +567,8 @@ def fit(
                 f"batch_size {tc.batch_size} not divisible by the data-axis "
                 f"size {n_data}")
         shard_emb = tc.shard_embeddings and mesh.shape.get("model", 1) > 1
-        state = prepare_state_for_mesh(state, mesh, tx)
+        state = prepare_state_for_mesh(state, mesh, tx,
+                                       sparse_items=sparse_items)
         attrs_np = (pad_table_rows(catalog.attrs, mesh) if shard_emb
                     else catalog.attrs)
         attrs_table = jnp.asarray(attrs_np)
@@ -626,11 +624,12 @@ def fit(
             make_sharded_device_eval_step, make_sharded_device_train_step)
         train_step = make_sharded_device_train_step(
             mc, tx, mesh, shard_embeddings=shard_emb, reject_width=rw,
-            neg_pop=neg_pop)
+            neg_pop=neg_pop, sparse_items=sparse_items, tc=tc)
         scanned_step = (make_sharded_device_train_step(
                             mc, tx, mesh, shard_embeddings=shard_emb,
                             inner_steps=tc.inner_steps, reject_width=rw,
-                            neg_pop=neg_pop)
+                            neg_pop=neg_pop, sparse_items=sparse_items,
+                            tc=tc)
                         if tc.inner_steps > 1 else None)
         eval_steps = {m: make_sharded_device_eval_step(
                           mc, tc.top_k, mesh, m, shard_embeddings=shard_emb,

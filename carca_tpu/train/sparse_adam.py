@@ -59,17 +59,21 @@ def touched_physical_rows(batch: Dict[str, jnp.ndarray], pack: int,
 
 
 def make_sub_lookup(posmap: jnp.ndarray, pack: int,
-                    sub_shape: Tuple[int, ...]) -> Callable:
+                    sub_shape: Tuple[int, ...],
+                    base_lookup: Callable | None = None) -> Callable:
     """A ``lookup(table, rows)`` for ``embedding_apply`` that resolves
     physical rows inside the gathered sub-table via the position map when
     the table IS the sub-table (identified by its exact shape — the full
-    attrs catalog flows through the same lookup and must keep plain
-    gathers). ``embedding_apply``'s packed path already divides ids by the
-    pack factor before calling lookup, so ``rows`` are physical."""
+    attrs catalog flows through the same lookup and must route through
+    ``base_lookup``, e.g. the shard_map row-sharded gather on a mesh).
+    ``embedding_apply``'s packed path already divides ids by the pack
+    factor before calling lookup, so ``rows`` are physical."""
 
     def lookup(table, rows):
         if table.shape == sub_shape:
             return table[posmap[rows]]
+        if base_lookup is not None:
+            return base_lookup(table, rows)
         return jnp.take(table, rows, axis=0)
 
     return lookup

@@ -97,3 +97,28 @@ def test_fit_end_to_end_sparse(tmp_path):
                                     out_dir=str(tmp_path / "s")))
     _, m2 = fit(cfg2, cat, log=False)
     assert m2["epochs_run"] == 3
+
+
+def test_fit_sparse_through_mesh(tmp_path):
+    """Sparse item-table Adam under the (data, model) mesh with row-sharded
+    tables: the sub-table gather/scatter partitions via XLA SPMD; metrics
+    match the single-device sparse fit on the same catalog/seed."""
+    cat = synthetic_catalog(n_users=96, n_real_items=60, seed=5)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=2, n_heads=2, dropout=0.0, decoder="ca")
+    dc = DataConfig(device_pipeline=True)
+
+    def tc(out, **kw):
+        return TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
+                           inner_steps=2, sparse_items_adam=True,
+                           out_dir=str(tmp_path / out), **kw)
+
+    _, m_single = fit(Config(model=mc, data=dc, train=tc("single")), cat,
+                      log=False)
+    _, m_mesh = fit(Config(model=mc, data=dc, train=tc(
+        "mesh", mesh_shape=(4, 2), mesh_axes=("data", "model"),
+        shard_embeddings=True)), cat, log=False)
+    for key in ("val_hr", "val_ndcg", "test_hr", "test_ndcg"):
+        assert np.isfinite(m_mesh[key])
+        np.testing.assert_allclose(m_mesh[key], m_single[key], atol=5e-3)
