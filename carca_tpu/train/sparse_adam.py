@@ -91,9 +91,14 @@ def with_items(params: Params, items: jnp.ndarray) -> Params:
 
 
 def init_state(table: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Moments live interleaved in ONE ``[R, 2W]`` array (mu ‖ nu per
+    row): their gather/scatter pairs then fuse into one memory op each —
+    the scatters are index-latency-bound (~2.6 ms per 38k rows into a
+    [5M, ·] array regardless of row width), so 3 scatters → 2 is a
+    direct ~2.6 ms/step saving."""
+    r, w = table.shape
     return {
-        "mu": jnp.zeros_like(table),
-        "nu": jnp.zeros_like(table),
+        "munu": jnp.zeros((r, 2 * w), table.dtype),
         "count": jnp.zeros((), jnp.int32),
     }
 
@@ -117,18 +122,18 @@ def apply_rows_update(
     count = sstate["count"] + 1
     if weight_decay:
         g_rows = g_rows + weight_decay * sub_rows
-    mu_rows = b1 * sstate["mu"].at[uphys].get(mode="fill", fill_value=0.0) \
-        + (1.0 - b1) * g_rows
-    nu_rows = b2 * sstate["nu"].at[uphys].get(mode="fill", fill_value=0.0) \
-        + (1.0 - b2) * jnp.square(g_rows)
+    w = g_rows.shape[-1]
+    munu = sstate["munu"].at[uphys].get(mode="fill", fill_value=0.0)
+    mu_rows = b1 * munu[:, :w] + (1.0 - b1) * g_rows
+    nu_rows = b2 * munu[:, w:] + (1.0 - b2) * jnp.square(g_rows)
     c = count.astype(jnp.float32)
     mu_hat = mu_rows / (1.0 - jnp.power(b1, c))
     nu_hat = nu_rows / (1.0 - jnp.power(b2, c))
     delta = (-lr) * mu_hat / (jnp.sqrt(nu_hat) + eps)
     table = table.at[uphys].add(delta.astype(table.dtype), mode="drop")
     return table, {
-        "mu": sstate["mu"].at[uphys].set(mu_rows, mode="drop"),
-        "nu": sstate["nu"].at[uphys].set(nu_rows, mode="drop"),
+        "munu": sstate["munu"].at[uphys].set(
+            jnp.concatenate([mu_rows, nu_rows], axis=-1), mode="drop"),
         "count": count,
     }
 
