@@ -122,3 +122,26 @@ def test_fit_sparse_through_mesh(tmp_path):
     for key in ("val_hr", "val_ndcg", "test_hr", "test_ndcg"):
         assert np.isfinite(m_mesh[key])
         np.testing.assert_allclose(m_mesh[key], m_single[key], atol=5e-3)
+
+
+def test_everything_composes(tmp_path):
+    """The full production stack in one fit: lane-packed tables (d=16 →
+    pack 8), row-sharded over 'model', lazy sparse Adam, device pipeline,
+    popularity negatives, exact rejection — on a (2, 4) virtual mesh."""
+    cat = synthetic_catalog(n_users=96, n_real_items=60, seed=7)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.1, decoder="dot",
+                     pack_tables=True)
+    cfg = Config(
+        model=mc,
+        data=DataConfig(device_pipeline=True, neg_distribution="popularity",
+                        exact_rejection=True),
+        train=TrainConfig(batch_size=16, epochs=2, inner_steps=2,
+                          sparse_items_adam=True, mesh_shape=(2, 4),
+                          mesh_axes=("data", "model"),
+                          shard_embeddings=True,
+                          out_dir=str(tmp_path / "all")))
+    _, m = fit(cfg, cat, log=False)
+    assert np.isfinite(m["val_loss"]) and np.isfinite(m["test_ndcg"])
+    assert m["val_hr"] > 0
