@@ -323,8 +323,10 @@ def load_recommender(
 
     cfg = config_from_run_dir(run_dir)
     tx = make_optimizer(cfg.train)
+    from carca_tpu.train import sparse_adam
     template = create_train_state(jax.random.PRNGKey(0), cfg.model,
-                                  cfg.train, tx)
+                                  cfg.train, tx,
+                                  sparse_items=sparse_adam.resolve(cfg))
     keeper = CheckpointKeeper(os.path.join(run_dir, "ckpt"))
     try:
         restore = (keeper.restore_best if which == "best"

@@ -147,6 +147,11 @@ def _sparse_device_update(mc, tc, tx, state, batch, step_rng, rng,
     uphys, posmap = sa.touched_physical_rows(batch, pack, table.shape[0],
                                              cap)
     sub = table[jnp.minimum(uphys, table.shape[0] - 1)]
+    # the lookup dispatches on the sub-table's exact shape; nothing else
+    # flowing through it may share that shape (the cap bump above keeps
+    # the attrs catalog distinct — this trips if a new table is routed
+    # through the lookup without extending that guard)
+    assert attrs_table is None or tuple(attrs_table.shape) != tuple(sub.shape)
     lookup = sa.make_sub_lookup(posmap, pack, sub.shape, base_lookup)
 
     def loss_fn(p):
@@ -592,7 +597,27 @@ def fit(
             shutil.rmtree(ckpt_dir)
         keeper = CheckpointKeeper(ckpt_dir)
     if tc.checkpoint_resume and keeper is not None:
-        restored = keeper.restore_latest(state)
+        try:
+            restored = keeper.restore_latest(state)
+        except ValueError:
+            # the saved opt-state structure disagrees with the freshly
+            # resolved sparse_items decision (auto depends on batch size /
+            # mesh / embedding — any of which the user may have changed
+            # between runs). Retry with the alternate structure and adopt
+            # it, so resumes survive config tweaks.
+            alt = create_train_state(jax.random.PRNGKey(tc.seed), mc, tc, tx,
+                                     sparse_items=not sparse_items)
+            if mesh is not None:
+                from carca_tpu.parallel.mesh import prepare_state_for_mesh
+                alt = prepare_state_for_mesh(alt, mesh, tx,
+                                             sparse_items=not sparse_items)
+            restored = keeper.restore_latest(alt)
+            sparse_items = not sparse_items
+            state = alt
+            if tc.verbose and log:
+                print(f"note: resumed checkpoint uses "
+                      f"{'sparse' if sparse_items else 'dense'} item-table "
+                      f"Adam; adopting it over the configured setting")
         if restored is not None:
             start_epoch = restored[0] + 1
             state = restored[1]

@@ -37,6 +37,35 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
+def resolve(cfg) -> bool:
+    """THE sparse-items-Adam decision for a Config — shared by ``fit`` and
+    every checkpoint-template builder (carca-serve restore), because the
+    flag changes the opt-state tree structure on disk.
+
+    Measured on v5e at 10M items (fused-moments variant): 3.1× at B=256,
+    1.15× at B=1024, 0.7× at B=4096 — the unique-sort and row traffic
+    grow with B while the dense sweep they replace is constant.
+    """
+    import numpy as np
+
+    tc, dc, mc = cfg.train, cfg.data, cfg.model
+    has_table = mc.embedding in ("all", "id", "mlpid")
+    if tc.sparse_items_adam is True:
+        if not dc.device_pipeline:
+            raise ValueError("sparse_items_adam requires device_pipeline=true")
+        if not has_table:
+            raise ValueError(
+                f"sparse_items_adam needs an item table; embedding="
+                f"{mc.embedding!r} has none (attr/attrctx are id-free)")
+        return True
+    return (tc.sparse_items_adam == "auto"
+            and dc.device_pipeline
+            and not (tc.mesh_shape and int(np.prod(tc.mesh_shape)) > 1)
+            and has_table
+            and mc.n_items >= 1_000_000
+            and tc.batch_size <= 1024)
+
+
 def touched_physical_rows(batch: Dict[str, jnp.ndarray], pack: int,
                           n_phys_rows: int, cap: int
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -139,19 +168,12 @@ def apply_rows_update(
 
 
 def lr_at(tc, count: jnp.ndarray) -> jnp.ndarray:
-    """The step's learning rate under TrainConfig's schedule (mirrors
-    ``train.state.make_optimizer``'s optax schedules, evaluated at the
-    sparse path's own step count)."""
-    import optax
+    """The step's learning rate under TrainConfig's schedule (the SAME
+    ``make_schedule`` the dense optax chain uses, evaluated at the sparse
+    path's own step count)."""
+    from carca_tpu.train.state import make_schedule
 
-    if tc.lr_schedule == "none" or tc.lr_decay_steps <= 0:
+    sched = make_schedule(tc)
+    if sched is None:
         return jnp.asarray(tc.lr, jnp.float32)
-    if tc.lr_schedule == "cosine":
-        sched = optax.cosine_decay_schedule(tc.lr, tc.lr_decay_steps,
-                                            alpha=tc.lr_decay_rate)
-    elif tc.lr_schedule == "exponential":
-        sched = optax.exponential_decay(tc.lr, tc.lr_decay_steps,
-                                        tc.lr_decay_rate)
-    else:
-        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
     return jnp.asarray(sched(count), jnp.float32)

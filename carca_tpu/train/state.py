@@ -27,6 +27,21 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
+def make_schedule(tc: TrainConfig):
+    """The run's learning-rate schedule as a callable step→lr (None for a
+    constant lr). Single source for both the dense optax chain and the
+    sparse item-table Adam — they must never drift apart."""
+    if tc.lr_schedule == "none" or tc.lr_decay_steps <= 0:
+        return None
+    if tc.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(tc.lr, tc.lr_decay_steps,
+                                           alpha=tc.lr_decay_rate)
+    if tc.lr_schedule == "exponential":
+        return optax.exponential_decay(tc.lr, tc.lr_decay_steps,
+                                       tc.lr_decay_rate)
+    raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
+
+
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     """torch.optim.Adam equivalence (``scripts/training.py:174``):
     betas=(beta1, beta2), eps=1e-8, and ``weight_decay`` added to the
@@ -36,18 +51,11 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     if tc.l2_reg > 0.0:
         chain.append(optax.add_decayed_weights(tc.l2_reg))
     chain.append(optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=1e-8))
-    if tc.lr_schedule == "none" or tc.lr_decay_steps <= 0:
+    sched = make_schedule(tc)
+    if sched is None:
         chain.append(optax.scale(-tc.lr))
-    elif tc.lr_schedule == "cosine":
-        sched = optax.cosine_decay_schedule(tc.lr, tc.lr_decay_steps,
-                                            alpha=tc.lr_decay_rate)
-        chain.append(optax.scale_by_learning_rate(sched))
-    elif tc.lr_schedule == "exponential":
-        sched = optax.exponential_decay(tc.lr, tc.lr_decay_steps,
-                                        tc.lr_decay_rate)
-        chain.append(optax.scale_by_learning_rate(sched))
     else:
-        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
+        chain.append(optax.scale_by_learning_rate(sched))
     return optax.chain(*chain)
 
 

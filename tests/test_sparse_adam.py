@@ -145,3 +145,57 @@ def test_everything_composes(tmp_path):
     _, m = fit(cfg, cat, log=False)
     assert np.isfinite(m["val_loss"]) and np.isfinite(m["test_ndcg"])
     assert m["val_hr"] > 0
+
+
+def test_resolve_validation_and_serve_restore(tmp_path):
+    """sparse_adam.resolve raises clearly for table-less embeddings; a
+    sparse-Adam run's latest/ checkpoint restores through carca-serve's
+    template (the template must carry the split opt-state structure)."""
+    from carca_tpu.train import sparse_adam
+
+    cat = synthetic_catalog(n_users=120, n_real_items=90, seed=8)
+    mc_noid = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                          n_ctx=cat.n_ctx, d=16, g=32, seq_len=8,
+                          target_len=12, n_blocks=1, n_heads=2,
+                          embedding="attr", decoder="dot")
+    with pytest.raises(ValueError, match="item table"):
+        sparse_adam.resolve(Config(
+            model=mc_noid, data=DataConfig(device_pipeline=True),
+            train=TrainConfig(sparse_items_adam=True)))
+
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="dot")
+    out = str(tmp_path / "run")
+    cfg = Config(model=mc, data=DataConfig(device_pipeline=True),
+                 train=TrainConfig(batch_size=16, epochs=1, inner_steps=2,
+                                   sparse_items_adam=True, out_dir=out))
+    fit(cfg, cat, log=False)
+
+    from carca_tpu.serve.recommender import load_recommender
+    rec = load_recommender(out, np.asarray(cat.attrs), which="latest")
+    ids, scores = rec.recommend([[1, 2, 3]], k=3)
+    assert np.asarray(ids).shape == (1, 3)
+
+
+def test_resume_adopts_saved_opt_structure(tmp_path):
+    """Resuming with a changed auto decision (sparse run resumed with
+    sparse_items_adam=false) adopts the checkpoint's structure instead of
+    crashing on an orbax tree mismatch."""
+    cat = synthetic_catalog(n_users=120, n_real_items=90, seed=9)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="dot")
+    out = str(tmp_path / "flip")
+    dc = DataConfig(device_pipeline=True)
+    fit(Config(model=mc, data=dc,
+               train=TrainConfig(batch_size=16, epochs=1, inner_steps=2,
+                                 sparse_items_adam=True, out_dir=out)),
+        cat, log=False)
+    _, m = fit(Config(model=mc, data=dc,
+                      train=TrainConfig(batch_size=16, epochs=2,
+                                        inner_steps=2,
+                                        sparse_items_adam=False,
+                                        out_dir=out)),
+               cat, log=False)
+    assert m["epochs_run"] == 2 and np.isfinite(m["val_loss"])
