@@ -150,3 +150,42 @@ def test_catalog_reproducible_from_resolved_data_config():
     # the at-scale preset must not trip fit()'s device_pipeline/mesh guard
     cfg = preset("synthetic10m")
     assert not (cfg.data.device_pipeline and cfg.train.mesh_shape)
+
+
+def test_cli_end_to_end_reference_file_formats(tmp_path):
+    """The full reference workflow through the CLI: write a catalog in the
+    reference's on-disk formats (profiles.txt / attrs.pkl / ctx.pkl,
+    src/data.py:17-50), train via --data_dir with the reference's flag
+    names, and check the reference's output contract (CSV log, args.json,
+    checkpoints, final metrics)."""
+    import json
+    import os
+
+    from carca_tpu.cli import main
+    from carca_tpu.data.synthetic import (synthetic_catalog,
+                                          write_reference_format)
+
+    cat = synthetic_catalog(n_users=120, n_real_items=80, seed=3)
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "run")
+    write_reference_format(cat, data_dir)
+
+    main(["--data_dir", data_dir,
+          "--profile_file", "profiles.txt",
+          "--attr_file", "attrs.pkl",
+          "--ctx_file", "ctx.pkl",
+          "--seq_len", "8", "--target_seq_len", "12",
+          "--d_dim", "16", "--g_dim", "32", "--n_blocks", "1",
+          "--batch_size", "16", "--epochs", "2", "--early_stop", "5",
+          "--embedding", "all", "--decoder", "ca", "--dropout", "0.0",
+          "--resume", "false", "--out_dir", out_dir])
+
+    args = json.load(open(os.path.join(out_dir, "args.json")))
+    assert args["seq_len"] == 8 and args["decoder"] == "ca"
+    csvs = [f for f in os.listdir(out_dir) if f.endswith(".csv")]
+    assert csvs, "reference CSV log contract missing"
+    rows = open(os.path.join(out_dir, csvs[0])).read().strip().splitlines()
+    # time;epoch;split;loss;HR;NDCG rows for train/val/test
+    assert any(";val;" in r for r in rows)
+    assert any(";test;" in r for r in rows)
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "best"))
