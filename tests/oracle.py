@@ -66,9 +66,34 @@ def leaky_relu(x, slope=0.01):
 
 
 def embed_all(params, cfg, x, a, c, mask, target):
-    q = dense(params["feats"], np.concatenate([a, c], axis=-1))
-    z = np.asarray(params["items"])[x] * np.sqrt(cfg.d)
-    e = dense(params["joint"], np.concatenate([z, q], axis=-1))
+    """All five feature-fusion embedding kinds (src/carca.py:66-198).
+    Packed item tables are unpacked before indexing (storage-only
+    transform; ops/packed_table.py)."""
+    kind = cfg.embedding
+
+    def items(width):
+        t = np.asarray(params["items"])
+        if t.shape[-1] != width:  # lane-packed storage
+            t = t.reshape(-1, width)
+        return t[x]
+
+    if kind == "all":
+        q = dense(params["feats"], np.concatenate([a, c], axis=-1))
+        z = items(cfg.d) * np.sqrt(cfg.d)
+        e = dense(params["joint"], np.concatenate([z, q], axis=-1))
+    elif kind == "attrctx":
+        q = dense(params["feats"], np.concatenate([a, c], axis=-1))
+        e = dense(params["joint"], q)
+    elif kind == "attr":
+        q = dense(params["feats"], a)
+        e = dense(params["joint"], q)
+    elif kind == "id":
+        e = items(cfg.d) * np.sqrt(cfg.d)
+    elif kind == "mlpid":
+        e = items(cfg.g) * np.sqrt(cfg.d)  # √d scale on the g-dim table
+        e = dense(params["feats"], e)
+    else:
+        raise ValueError(kind)
     if not target:
         e = apply_encoding(params["enc"], cfg.encoding, e)
     return e * mask[..., None]

@@ -291,3 +291,44 @@ def test_wdot_l2_norm_grads_finite():
     g = jax.jit(jax.grad(loss))(params)
     for path, leaf in jax.tree_util.tree_leaves_with_path(g):
         assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(path)
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_forward_parity(trial):
+    """Seeded sweep over the whole plug-board (random embedding x encoding
+    x decoder x dims x residual flags x masks) against the numpy oracle —
+    coverage of combinations the targeted tests don't enumerate."""
+    rng = np.random.default_rng(1000 + trial)
+    cfg = mk_cfg(
+        embedding=str(rng.choice(["all", "attrctx", "attr", "id", "mlpid"])),
+        encoding=str(rng.choice(["identity", "learnable", "positional"])),
+        decoder=str(rng.choice(["ca", "dot", "wdot"])),
+        d=int(rng.choice([8, 16, 32])),
+        g=int(rng.choice([16, 24])),
+        n_blocks=int(rng.integers(1, 4)),
+        n_heads=int(rng.choice([1, 2, 4])),
+        residual_sa=bool(rng.integers(0, 2)),
+        residual_ca=bool(rng.integers(0, 2)),
+        l2_norm=bool(rng.integers(0, 2)),
+        gamma=float(rng.uniform(0.5, 1.0)),
+        seq_len=int(rng.integers(3, 9)),
+    )
+    L = cfg.seq_len
+    b = int(rng.integers(1, 5))
+    p_x = rng.integers(0, NI, (b, L)).astype(np.int32)
+    pad = int(rng.integers(0, L))
+    p_x[:, :pad] = 0
+    o_x = rng.integers(1, NI, (b, L)).astype(np.int32)
+    attrs = rng.standard_normal((NI, NA)).astype(np.float32)
+    attrs[0] = 0
+    p_c = rng.standard_normal((b, L, NC)).astype(np.float32)
+    o_c = rng.standard_normal((b, L, NC)).astype(np.float32)
+    train = bool(rng.integers(0, 2))
+
+    params = carca_init(jax.random.PRNGKey(trial), cfg)
+    got = carca_apply(params, cfg, (p_x, attrs[p_x], p_c),
+                      [(o_x, attrs[o_x], o_c)], train=train,
+                      rng=jax.random.PRNGKey(0))
+    want = oracle.carca_forward(to_np(params), cfg, (p_x, attrs[p_x], p_c),
+                                [(o_x, attrs[o_x], o_c)], train=train)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
