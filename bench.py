@@ -31,10 +31,15 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=("flagship", "men"), default="flagship",
+    ap.add_argument("--config", choices=("flagship", "men", "10m"),
+                    default="flagship",
                     help="men = long-sequence shape (L=200, BASELINE "
                          "configs[3]); reference measured 52.16 ex/s there "
-                         "(VALIDATION_men_ref.json)")
+                         "(VALIDATION_men_ref.json). 10m = the 10M-item "
+                         "catalog shape (BASELINE configs[4]): device-"
+                         "generated catalog, lane-packed tables, lazy "
+                         "sparse Adam — no reference counterpart (its "
+                         "torch-CPU loop cannot hold the table)")
     ap.add_argument("--batch", type=int, default=256,
                     help="train batch size (256 matches the reference "
                          "measurement; larger shows production throughput)")
@@ -51,18 +56,27 @@ def main() -> None:
         cat = synthetic_catalog(n_users=2048, n_real_items=2000, n_attrs=12,
                                 n_ctx=4, min_len=40, max_len=250, seed=0)
         seq_len = 200
+    elif args.config == "10m":
+        from carca_tpu.data.synthetic import synthetic_catalog_device
+        cat = synthetic_catalog_device(n_users=100_000,
+                                       n_real_items=10_000_000, seed=0)
+        seq_len = 50
     else:
         cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
         seq_len = 50
+    at_scale = args.config == "10m"
     mc = ModelConfig(
         n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
         d=64, g=256, seq_len=seq_len, target_len=100, n_blocks=2, n_heads=2,
-        dropout=0.5, embedding="all", encoding="identity", decoder="ca",
+        dropout=0.5, embedding="all", encoding="identity",
+        decoder="dot" if at_scale else "ca",
+        compute_dtype="bfloat16" if at_scale else "float32",
         use_pallas="auto",
     )
     tc = TrainConfig(batch_size=args.batch, seed=0)
     tx = make_optimizer(tc)
-    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx)
+    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx,
+                               sparse_items=at_scale)
     attrs = jnp.asarray(cat.attrs)
 
     # production path: HBM-resident catalog, batches assembled on device
@@ -77,7 +91,8 @@ def main() -> None:
                                     for i in range(inner)]), jnp.int32)
               for j in range(4)]
 
-    step = make_scanned_device_train_step(mc, tx, inner)
+    step = make_scanned_device_train_step(mc, tx, inner,
+                                          sparse_items=at_scale, tc=tc)
 
     from carca_tpu.utils.timing import sync
 
@@ -96,11 +111,14 @@ def main() -> None:
 
     baseline = None
     base_file = ("VALIDATION_men_ref.json" if args.config == "men"
+                 else None if at_scale  # no reference counterpart at 10M
                  else "BASELINE_MEASURED.json")
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), base_file)
-    if os.path.exists(path):
-        with open(path) as fh:
-            baseline = json.load(fh).get("train_examples_per_sec")
+    if base_file is not None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            base_file)
+        if os.path.exists(path):
+            with open(path) as fh:
+                baseline = json.load(fh).get("train_examples_per_sec")
 
     out = {
         "metric": f"train_examples_per_sec_{args.config}",
