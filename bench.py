@@ -46,7 +46,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from carca_tpu.config import ModelConfig, TrainConfig
-    from carca_tpu.data.dataset import BatchBuilder, epoch_batches
+    from carca_tpu.data.dataset import epoch_batches
     from carca_tpu.data.device_pipeline import DeviceDataset
     from carca_tpu.data.synthetic import synthetic_catalog
     from carca_tpu.train.loop import make_scanned_device_train_step

@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 EMBEDDINGS = ("all", "attrctx", "attr", "id", "mlpid")
 ENCODINGS = ("identity", "learnable", "positional")

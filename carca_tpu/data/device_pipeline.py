@@ -20,7 +20,7 @@ for extreme history lengths (``DataConfig.exact_rejection``).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,11 +10,9 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional
-
 import numpy as np
 
-from carca_tpu.data.loaders import Catalog, build_catalog
+from carca_tpu.data.loaders import Catalog
 
 
 def synthetic_catalog(

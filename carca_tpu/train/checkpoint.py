@@ -24,7 +24,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 
