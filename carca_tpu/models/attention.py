@@ -89,6 +89,50 @@ def pair_mask(
     return m
 
 
+def masked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    k_mask: jnp.ndarray,
+    *,
+    n_heads: int,
+    causal: Optional[int],
+    scale: float,
+    dropout_rate: float = 0.0,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    return_w: bool = False,
+):
+    """THE reference attention math on post-projection tensors — the single
+    jnp implementation, used by ``mha_apply`` and as the fused kernel's
+    fallback (``ops/flash_attention._jnp_fallback``). Keeping one copy makes
+    "fallback ≡ oracle" structural rather than copy-maintained."""
+    cd = jnp.dtype(compute_dtype)
+    qh = _split_heads(q.astype(cd), n_heads)
+    kh = _split_heads(k.astype(cd), n_heads)
+    vh = _split_heads(v.astype(cd), n_heads)
+
+    m = pair_mask(q_mask, k_mask, causal)  # [B, Lq, Lk]
+    add = jnp.where(m > 0, 0.0, NEG_MASK).astype(jnp.float32)
+
+    # logits in fp32: (QKᵀ + add) / √(d/H)  — mask added pre-scale, as in
+    # baddbmm at src/carca.py:253-254
+    logits = jnp.einsum("bhqe,bhke->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    logits = (logits + add[:, None]) / scale
+
+    w = jax.nn.softmax(logits, axis=-1)
+    w = w * m[:, None]  # post-softmax re-mask (src/carca.py:256)
+
+    wd = layers.dropout(rng, w, dropout_rate, train)  # dropout on weights (:258)
+    out = jnp.einsum("bhqk,bhke->bhqe", wd.astype(cd), vh, preferred_element_type=jnp.float32)
+    out = _merge_heads(out).astype(jnp.float32)
+    if return_w:
+        return w, out
+    return out
+
+
 def mha_apply(
     params: Params,
     query: jnp.ndarray,
@@ -108,6 +152,10 @@ def mha_apply(
 ):
     """query [B,Lq,d], key/value [B,Lk,d], masks [B,Lq]/[B,Lk] → [B,Lq,d]."""
     cd = jnp.dtype(compute_dtype)
+    if train and dropout_rate > 0.0 and rng is None:
+        # fail identically on both dispatch paths (the kernel would
+        # otherwise silently train without attention dropout)
+        raise ValueError("dropout requires an rng key when train=True and rate>0")
     q = layers.dense(params["wq"], query, cd)
     k = layers.dense(params["wk"], key, cd)
     v = layers.dense(params["wv"], value, cd)
@@ -124,29 +172,11 @@ def mha_apply(
             causal=causal, scale=scale,
             dropout_rate=dropout_rate if train else 0.0,
             rng=rng if train and dropout_rate > 0 else None,
-            n_heads=n_heads,
+            n_heads=n_heads, compute_dtype=str(cd),
         )
         return out.astype(jnp.float32)
 
-    qh = _split_heads(q.astype(cd), n_heads)
-    kh = _split_heads(k.astype(cd), n_heads)
-    vh = _split_heads(v.astype(cd), n_heads)
-
-    m = pair_mask(q_mask, k_mask, causal)  # [B, Lq, Lk]
-    add = jnp.where(m > 0, 0.0, NEG_MASK).astype(jnp.float32)
-
-    # logits in fp32: (QKᵀ + add) / √(d/H)  — mask added pre-scale, as in
-    # baddbmm at src/carca.py:253-254
-    logits = jnp.einsum("bhqe,bhke->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    logits = (logits + add[:, None]) / scale
-
-    w = jax.nn.softmax(logits, axis=-1)
-    w = w * m[:, None]  # post-softmax re-mask (src/carca.py:256)
-
-    wd = layers.dropout(rng, w, dropout_rate, train)  # dropout on weights (:258)
-    out = jnp.einsum("bhqk,bhke->bhqe", wd.astype(cd), vh, preferred_element_type=jnp.float32)
-    out = _merge_heads(out).astype(jnp.float32)
-
-    if return_w:
-        return w, out
-    return out
+    return masked_attention(
+        q, k, v, q_mask, k_mask, n_heads=n_heads, causal=causal, scale=scale,
+        dropout_rate=dropout_rate, train=train, rng=rng, compute_dtype=cd,
+        return_w=return_w)

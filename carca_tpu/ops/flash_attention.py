@@ -79,7 +79,9 @@ def _weights_block(cfg: _AttnConfig, q, k, qm, km, row0: jnp.ndarray):
     """
     bb, bq, _ = q.shape
     lk = k.shape[1]
-    s = jax.lax.dot_general(q, k, dimension_numbers=_BATCHED_QKT,
+    cd = jnp.dtype(cfg.compute_dtype)
+    s = jax.lax.dot_general(q.astype(cd), k.astype(cd),
+                            dimension_numbers=_BATCHED_QKT,
                             preferred_element_type=jnp.float32)
     m = qm[:, :, None] * km[:, None, :]
     if cfg.causal is not None:
@@ -314,6 +316,7 @@ def fused_attention(
     n_heads: int = 1,
     block_q: int = 512,
     block_b: Optional[int] = None,
+    compute_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Fused attention on post-projection tensors.
 
@@ -333,7 +336,7 @@ def fused_attention(
         # interpreter can't lower the TPU PRNG — use the jnp oracle math
         return _jnp_fallback(q, k, v, q_mask, k_mask, causal=causal,
                              scale=scale, dropout_rate=dropout_rate, rng=rng,
-                             n_heads=n_heads)
+                             n_heads=n_heads, compute_dtype=compute_dtype)
 
     def heads(x, l):
         return x.reshape(b, l, n_heads, dh).transpose(0, 2, 1, 3)
@@ -351,7 +354,7 @@ def fused_attention(
     if _bwd_vmem_bytes(1, bq, lkp, dh) > budget:
         return _jnp_fallback(q, k, v, q_mask, k_mask, causal=causal,
                              scale=scale, dropout_rate=dropout_rate, rng=rng,
-                             n_heads=n_heads)
+                             n_heads=n_heads, compute_dtype=compute_dtype)
     lqp = _round_up(lq, bq)
     bb = block_b or _pick_block_b(b, bq, lkp, dh)
     qh = jnp.pad(qh, ((0, 0), (0, 0), (0, lqp - lq), (0, 0)))
@@ -369,7 +372,7 @@ def fused_attention(
 
     cfg = _AttnConfig(
         causal=causal, scale=float(scale), dropout_rate=rate, block_b=bb,
-        block_q=bq, interpret=interpret, compute_dtype=str(q.dtype),
+        block_q=bq, interpret=interpret, compute_dtype=compute_dtype,
     )
     out = _attention(cfg, qh, kh, vh, qm, km, seed)  # [B, H, Lqp, dh]
     out = out[:, :, :lq, :].transpose(0, 2, 1, 3).reshape(b, lq, d)
@@ -377,31 +380,13 @@ def fused_attention(
 
 
 def _jnp_fallback(q, k, v, q_mask, k_mask, *, causal, scale, dropout_rate,
-                  rng, n_heads):
-    """jnp math identical to the oracle (used when the kernel PRNG is
-    unavailable); see ``carca_tpu.models.attention.mha_apply``."""
-    b, lq, d = q.shape
-    lk = k.shape[1]
-    dh = d // n_heads
+                  rng, n_heads, compute_dtype="float32"):
+    """Delegates to THE shared jnp reference-attention core
+    (``models.attention.masked_attention``) — the fallback cannot drift
+    from the oracle because it IS the oracle."""
+    from carca_tpu.models.attention import masked_attention
 
-    def heads(x, l):
-        return x.reshape(b, l, n_heads, dh).transpose(0, 2, 1, 3)
-
-    qh, kh, vh = heads(q, lq), heads(k, lk), heads(v, lk)
-    m = q_mask[:, :, None] * k_mask[:, None, :]
-    if causal is not None:
-        rows = jnp.arange(lq)[:, None]
-        cols = jnp.arange(lk)[None, :]
-        m = m * (cols <= rows + causal).astype(m.dtype)
-    add = jnp.where(m > 0, 0.0, NEG_MASK)
-    logits = jnp.einsum("bhqe,bhke->bhqk", qh, kh,
-                        preferred_element_type=jnp.float32)
-    logits = (logits + add[:, None]) / scale
-    w = jax.nn.softmax(logits, axis=-1) * m[:, None]
-    if dropout_rate > 0.0 and rng is not None:
-        keep = 1.0 - dropout_rate
-        keep_mask = jax.random.bernoulli(rng, keep, w.shape)
-        w = jnp.where(keep_mask, w / keep, 0.0)
-    out = jnp.einsum("bhqk,bhke->bhqe", w.astype(qh.dtype), vh,
-                     preferred_element_type=jnp.float32)
-    return out.transpose(0, 2, 1, 3).reshape(b, lq, d).astype(jnp.float32)
+    return masked_attention(
+        q, k, v, q_mask, k_mask, n_heads=n_heads, causal=causal, scale=scale,
+        dropout_rate=dropout_rate, train=rng is not None or dropout_rate <= 0,
+        rng=rng, compute_dtype=compute_dtype)

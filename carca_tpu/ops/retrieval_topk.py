@@ -174,11 +174,20 @@ def catalog_topk(
     if pad:
         catalog_emb = jnp.pad(catalog_emb, ((0, pad), (0, 0)))
 
+    if k > c:
+        raise ValueError(
+            f"k={k} exceeds the kernel's chunk width {c} (each streamed "
+            f"chunk can contribute at most {c} candidates) — lower the "
+            f"requested k / exclusion slack or split the query batch")
     # the kernel works in local row space (0..R); the valid-id window and
     # the pad-row mask are shifted by id_offset (runtime SMEM scalars, so a
-    # traced shard offset works)
+    # traced shard offset works). The window is clamped to this slice's
+    # real row count r: on a non-last shard n_items - id_offset exceeds r,
+    # and without the clamp the kernel's own zero-padded rows [r, rp) would
+    # enter the top-k with fabricated score 0 under the NEXT shard's ids
     id_offset = jnp.asarray(id_offset, jnp.int32)
-    lim = jnp.stack([jnp.asarray(n_items, jnp.int32) - id_offset,
+    lim = jnp.stack([jnp.minimum(jnp.asarray(n_items, jnp.int32) - id_offset,
+                                 jnp.asarray(r, jnp.int32)),
                      (id_offset == 0).astype(jnp.int32)])
     kern = functools.partial(_kernel, k, c)
     vals, cols = pl.pallas_call(

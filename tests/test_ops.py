@@ -159,3 +159,64 @@ def test_fused_attention_out_of_regime_falls_back_to_jnp():
                           n_heads=h)
     ref = _oracle(q, k, v, qm, km, None, scale, h)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_catalog_topk_shard_slice_pad_rows_masked():
+    """Regression: a non-last shard's kernel-side zero-pad rows [r, rp)
+    entered the top-k with fabricated score 0 under the NEXT shard's ids
+    whenever all real scores were negative (cosine decoders, exclusion
+    tails)."""
+    from carca_tpu.ops.retrieval_topk import catalog_topk
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(np.abs(rng.normal(size=(4, 16))) + 0.1, jnp.float32)
+    e = jnp.asarray(-np.abs(rng.normal(size=(130, 16))) - 1.0, jnp.float32)
+    # simulate shard 1 of many: rows are ids 1000..1129 of a 5000-id catalog
+    v, ids = catalog_topk(q, e, 5, n_items=5000, id_offset=1000)
+    ids = np.asarray(ids)
+    assert (ids < 1130).all(), f"phantom pad-row ids returned: {ids}"
+    assert np.isfinite(np.asarray(v)).all()
+    # scores must be genuinely negative (no fabricated zeros)
+    assert (np.asarray(v) < 0).all()
+
+
+def test_catalog_topk_k_exceeding_chunk_raises():
+    from carca_tpu.ops.retrieval_topk import catalog_topk
+
+    q = jnp.zeros((4, 16))
+    e = jnp.zeros((4096, 16))
+    with pytest.raises(ValueError, match="chunk width"):
+        catalog_topk(q, e, 200, n_items=4096, chunk=128)
+
+
+def test_fused_path_raises_without_rng():
+    """Both dispatch paths fail identically when dropout needs an rng —
+    the fused kernel must not silently train without attention dropout."""
+    from carca_tpu.models.attention import mha_apply, mha_init
+
+    params = mha_init(jax.random.PRNGKey(0), 16)
+    x = jnp.ones((2, 4, 16))
+    m = jnp.ones((2, 4))
+    for use_pallas in (False, True):
+        with pytest.raises(ValueError, match="rng"):
+            mha_apply(params, x, x, x, m, m, n_heads=2, causal=0,
+                      dropout_rate=0.5, train=True, rng=None,
+                      use_pallas=use_pallas)
+
+
+def test_fused_kernel_bf16_matches_oracle_bf16():
+    """compute_dtype='bfloat16' must actually reach the kernel's QK^T /
+    PV matmuls and match the jnp oracle's bf16 semantics."""
+    from carca_tpu.models.attention import mha_apply, mha_init
+
+    rng = np.random.default_rng(1)
+    d, H, B, L = 32, 2, 2, 16
+    params = mha_init(jax.random.PRNGKey(1), d)
+    x = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+    mask = jnp.ones((B, L))
+    kw = dict(n_heads=H, causal=0, dropout_rate=0.0, train=False, rng=None,
+              compute_dtype=jnp.bfloat16)
+    ref = mha_apply(params, x, x, x, mask, mask, use_pallas=False, **kw)
+    got = mha_apply(params, x, x, x, mask, mask, use_pallas=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)  # bf16 rounding
