@@ -9,7 +9,9 @@ HBM once, and batches are *assembled inside the jitted step* from a [B]
 vector of user rows — the only per-step host→device transfer.
 
 Semantics match ``BatchBuilder`` (same window formulas, right-alignment,
-negative-context inheritance, labels). Negative sampling uses the on-device
+negative-context inheritance, labels), except negatives may repeat within
+an example (~S²/2n chance per row — see ``parallel.sampling``; the host
+pipeline dedupes like the reference). Negative sampling uses the on-device
 sampler; with ``reject_width > 0`` (the default policy in ``fit`` when
 histories are short enough) it rejects against the user's **full history**
 gathered from the HBM-resident CSR — the reference's exact protocol

@@ -119,7 +119,7 @@ def build_catalog(
     n_events = int(offsets[-1])
 
     items = np.zeros(n_events, dtype=np.int32)
-    if ctx is not None:
+    if ctx:
         c_len = len(next(iter(ctx.values()))) if n_ctx is None else n_ctx
     else:
         c_len = n_ctx or 0
@@ -129,7 +129,7 @@ def build_catalog(
         s = offsets[ui]
         seq = profiles[u]
         items[s: s + len(seq)] = seq
-        if ctx is not None:
+        if ctx:
             for j, it in enumerate(seq):
                 ctx_vals[s + j] = ctx[(u, it)]
 

@@ -41,15 +41,19 @@ def _build() -> Optional[str]:
     so = os.path.join(cache, f"assembler_{digest}.so")
     if os.path.exists(so):
         return so
+    # per-process tmp name: concurrent builders (pytest-xdist, multi-
+    # process launches sharing the cache) must not interleave writes into
+    # one file; os.replace publishes whichever finishes first, atomically
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", so + ".tmp"]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError) as e:
         sys.stderr.write(f"carca_tpu.native: build failed ({e}); "
                          "using numpy assembler\n")
         return None
-    os.replace(so + ".tmp", so)
+    os.replace(tmp, so)
     return so
 
 
@@ -62,7 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if so is None:
             _FAILED = True
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:  # corrupt/incompatible cached .so
+            sys.stderr.write(f"carca_tpu.native: load failed ({e}); "
+                             "using numpy assembler\n")
+            _FAILED = True
+            return None
         common = [_p_i32, _p_i64, _p_f32, _i64, _p_i64, _p_i64, _p_i64,
                   _i64, _i64]
         lib.carca_train_batch.restype = _i64

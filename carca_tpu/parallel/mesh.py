@@ -22,11 +22,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize_distributed(**kw) -> None:
     """Multi-host init (no-op when single-process). Call once before any
     JAX computation on a pod slice; coordinator/process env comes from the
-    TPU runtime."""
+    TPU runtime.
+
+    Only the benign cases are swallowed (already initialized; no
+    coordinator configured = single process). A genuine multi-host init
+    failure must raise — otherwise every host silently trains the full
+    workload independently and races on the checkpoint directory."""
     try:
         jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+    except ValueError:
+        pass  # no coordinator/process env → single-process run
 
 
 def make_mesh(

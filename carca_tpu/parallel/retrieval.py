@@ -144,6 +144,17 @@ def _masked_scores(q, e, ids, exclude):
     return s
 
 
+def filter_excluded(v: jnp.ndarray, ids: jnp.ndarray,
+                    exclude: jnp.ndarray, k: int):
+    """Mask retrieved ids appearing in ``exclude`` [B, E] (0 entries are
+    no-ops against real ids), then re-top-k down to ``k`` — the shared
+    over-retrieve-then-filter step."""
+    hit = jnp.any(ids[:, :, None] == exclude[:, None, :], axis=-1)
+    v = jnp.where(hit, NEG_INF, v)
+    v, sel = jax.lax.top_k(v, k)
+    return v, jnp.take_along_axis(ids, sel, axis=1)
+
+
 def topk_given_queries(
     q: jnp.ndarray,
     e: jnp.ndarray,
@@ -183,10 +194,7 @@ def topk_given_queries(
             rid = row_ids[rid]
         if exclude is None:  # then kk == k — nothing to re-rank
             return v, rid
-        hit = jnp.any(rid[:, :, None] == exclude[:, None, :], axis=-1)
-        v = jnp.where(hit, NEG_INF, v)
-        v, sel = jax.lax.top_k(v, k)
-        return v, jnp.take_along_axis(rid, sel, axis=1)
+        return filter_excluded(v, rid, exclude, k)
     ids = (row_ids if row_ids is not None
            else jnp.arange(e.shape[0], dtype=jnp.int32))
     s = _masked_scores(q, e, jnp.where(ids < cfg.n_items, ids, 0), exclude)
@@ -233,13 +241,9 @@ def full_catalog_topk(
     kk = k + exclude.shape[1] if (use_kernel and had_exclude) else k
 
     def drop_excluded(v, ids):
-        """Mask retrieved ids that appear in `exclude`, re-top-k to k."""
         if not had_exclude:
             return v, ids
-        hit = jnp.any(ids[:, :, None] == exclude[:, None, :], axis=-1)
-        v = jnp.where(hit, NEG_INF, v)
-        v, sel = jax.lax.top_k(v, k)
-        return v, jnp.take_along_axis(ids, sel, axis=1)
+        return filter_excluded(v, ids, exclude, k)
 
     if mesh is None or mesh.shape.get("model", 1) == 1:
         e = catalog_emb if catalog_emb is not None else embed_catalog(

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from carca_tpu.models.embeddings import _default_lookup
 from carca_tpu.parallel.embedding import make_sharded_lookup
 from carca_tpu.parallel.mesh import batch_shardings, param_shardings, table_sharding
-from carca_tpu.parallel.sampling import device_sample_negatives
+from carca_tpu.parallel.sampling import device_sample_negatives, retries_for
 from carca_tpu.train.loop import (_sparse_device_update, apply_gradients,
                                   eval_metrics, train_loss)
 from carca_tpu.train.state import TrainState
@@ -61,9 +61,15 @@ def make_sharded_train_step(
 
         if device_negatives:
             # the host ships only the positive half; negatives are drawn
-            # here (fresh per step) and inherit the positives' contexts
+            # here (fresh per step) and inherit the positives' contexts.
+            # Reject against profile AND positives — the newest positive
+            # (the window's last item) is not in p_x, and a "negative"
+            # equal to it would carry labels 1 and 0 in the same example
+            visible = jnp.concatenate(
+                [batch["p_x"], batch["o_x"][:, :L]], axis=1)
             o_neg = device_sample_negatives(
-                neg_rng, batch["p_x"], mc.n_items, L)
+                neg_rng, visible, mc.n_items, L,
+                retries_for(visible.shape[1], mc.n_items))
             o_neg = jnp.where(batch["p_x"] > 0, o_neg, 0)
             o_c_pos = batch["o_c"][:, :L]
             batch = dict(

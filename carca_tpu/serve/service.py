@@ -84,6 +84,10 @@ class _HostCSR:
 
 
 def _history(cat, user: int):
+    # explicit bounds check: numpy negative indexing would silently wrap
+    # a negative "user" to ANOTHER user's CSR range
+    if not 0 <= user < cat.n_users:
+        raise ValueError(f"user {user} out of range [0, {cat.n_users})")
     lo, hi = int(cat.offsets[user]), int(cat.offsets[user + 1])
     return cat.items[lo:hi].tolist(), cat.ctx_vals[lo:hi]
 
