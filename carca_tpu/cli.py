@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", type=parse_pallas_flag, default="auto",
                    help="true | false | auto (per-callsite by tile size)")
     p.add_argument("--remat", type=parse_bool, default=False)
+    p.add_argument("--pack_tables", type=parse_pallas_flag, default="auto",
+                   help="lane-pack sub-128-wide embedding tables: true | "
+                        "false | auto (>=1M-row tables)")
     p.add_argument("--synthetic", type=parse_bool, default=False)
     p.add_argument("--synthetic_users", type=int, default=2000)
     p.add_argument("--synthetic_items", type=int, default=1000)
@@ -160,7 +163,8 @@ _PRESET_OVERLAY = {
     },
     "model": {
         "use_pallas": "use_pallas", "compute_dtype": "compute_dtype",
-        "remat": "remat",
+        "remat": "remat", "dropout": "dropout", "l2_norm": "l2_norm",
+        "gamma": "gamma", "pack_tables": "pack_tables",
     },
 }
 
@@ -218,7 +222,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         decoder=args.decoder.lower(), residual_sa=args.residual_sa,
         residual_ca=args.residual_ca, gamma=args.gamma, l2_norm=args.l2_norm,
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
-        remat=args.remat,
+        remat=args.remat, pack_tables=args.pack_tables,
     )
     dc = DataConfig(
         data_dir=args.data_dir, profile_file=args.profile_file,
@@ -287,6 +291,10 @@ def main(argv: Optional[list] = None) -> None:
         from carca_tpu.train.loop import evaluate_retrieval, fit
 
         state, metrics = fit(cfg, catalog)
+        if args.eval_retrieval and cfg.model.decoder == "ca":
+            print("note: --eval_retrieval applies to the dot/wdot decoders "
+                  "(the cross-attention decoder is a ranking model, not a "
+                  "retrieval tower); skipping retrieval eval")
         if args.eval_retrieval and cfg.model.decoder != "ca":
             params = state.params
             # drop the Adam moments (2x params — ~5 GB at 10M items)

@@ -47,18 +47,6 @@ from carca_tpu.train.state import TrainState, create_train_state, make_optimizer
 from carca_tpu.utils.masking import get_mask
 
 
-def _decay_mask(params) -> Any:
-    """L2-decay every trainable leaf except the constant sinusoidal table
-    (a registered *buffer* in the reference, not a parameter)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    treedef = jax.tree_util.tree_structure(params)
-    leaves = []
-    for path, _ in flat:
-        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        leaves.append("pe" not in keys)
-    return jax.tree_util.tree_unflatten(treedef, leaves)
-
-
 
 def train_loss(mc, params, batch, step_rng, attrs_table, lookup=None):
     """THE train-time loss, shared verbatim by every step variant (single-
@@ -357,19 +345,26 @@ def evaluate_retrieval(
     index_note = f"{mc.n_items} ids"
     if seen_only:
         # count TRAINING events only: each user's held-out val/test tail
-        # (last 2 events when test=True, else 1 — src/data.py:59-72) is
-        # excluded, so an item occurring solely as a held-out positive is
-        # NOT indexed (it was never trained on, and counting it would leak
-        # held-out information into the index)
+        # is excluded, so an item occurring solely as a held-out positive
+        # is NOT indexed (it was never trained on, and counting it would
+        # leak held-out information into the index). Uses the ACTUAL train
+        # window bounds — windowing floors the window end at 1
+        # (src/data.py:53-74), so a short-history user's first event does
+        # train and must count — restricted to users the train split
+        # actually iterates
         items_np = np.asarray(dd.arrays["items"])
         offsets = np.asarray(catalog.offsets)
-        holdout = 2 if tc.test else 1
-        pos_in_user = np.arange(len(items_np)) - np.repeat(
-            offsets[:-1], np.diff(offsets))
-        train_len = np.repeat(np.maximum(np.diff(offsets) - holdout, 0),
-                              np.diff(offsets))
-        counts = np.bincount(items_np[pos_in_user < train_len],
-                             minlength=mc.n_items)
+        lengths = np.diff(offsets)
+        starts = np.asarray(dd.arrays["start_train"])
+        ends = np.asarray(dd.arrays["end_train"])
+        user_of = np.repeat(np.arange(len(lengths)), lengths)
+        pos_in_user = np.arange(len(items_np)) - np.repeat(offsets[:-1],
+                                                           lengths)
+        trains = np.zeros(len(lengths), bool)
+        trains[dd.users("train")] = True
+        sel = (trains[user_of] & (pos_in_user >= starts[user_of])
+               & (pos_in_user < ends[user_of]))
+        counts = np.bincount(items_np[sel], minlength=mc.n_items)
         seen = np.flatnonzero(counts[1:]) + 1  # never index the pad id
         row_ids = jnp.asarray(np.concatenate([[0], seen]), jnp.int32)
         index_note = f"{len(seen)}/{mc.n_items - 1} seen items"
@@ -536,21 +531,11 @@ def fit(
         test_users = host_root.choice(test_users, cfg.data.eval_subsample, replace=False)
 
     tx = make_optimizer(tc)
-    # lazy row-sparse Adam for the item table (train/sparse_adam.py):
-    # device-pipeline, single-chip, and a table worth the bookkeeping
-    sparse_items = tc.sparse_items_adam is True or (
-        tc.sparse_items_adam == "auto"
-        and cfg.data.device_pipeline
-        and not (tc.mesh_shape and int(np.prod(tc.mesh_shape)) > 1)
-        and mc.embedding in ("all", "id", "mlpid")
-        and mc.n_items >= 1_000_000
-        # measured on v5e at 10M items (fused-moments variant): 3.1x at
-        # B=256, 1.15x at B=1024, 0.7x at B=4096 (the unique-sort and row
-        # traffic grow with B while the dense sweep they replace is
-        # constant)
-        and tc.batch_size <= 1024)
-    if sparse_items and not cfg.data.device_pipeline:
-        raise ValueError("sparse_items_adam requires device_pipeline=true")
+    # lazy row-sparse Adam for the item table: ONE resolver, shared with
+    # the checkpoint-template builders (it changes the opt-state tree on
+    # disk) — see sparse_adam.resolve for the decision and its validation
+    from carca_tpu.train import sparse_adam
+    sparse_items = sparse_adam.resolve(cfg)
 
     if state is None:
         state = create_train_state(jax.random.PRNGKey(tc.seed), mc, tc, tx,

@@ -27,6 +27,22 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
+def decay_mask(params):
+    """L2-decay every trainable leaf EXCEPT the constant sinusoidal table:
+    ``pe`` is a registered *buffer* in the reference (src/carca.py:51-53)
+    that torch's optimizer never touches, and its stop_gradient here means
+    autograd gives it zero true gradient — an unmasked add_decayed_weights
+    would inject l2_reg·pe as a fake gradient and erode the fixed table."""
+    import jax
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = []
+    for path, _ in flat:
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        leaves.append("pe" not in keys)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def make_schedule(tc: TrainConfig):
     """The run's learning-rate schedule as a callable step→lr (None for a
     constant lr). Single source for both the dense optax chain and the
@@ -49,7 +65,7 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     ``add_decayed_weights`` ahead of ``scale_by_adam``."""
     chain = []
     if tc.l2_reg > 0.0:
-        chain.append(optax.add_decayed_weights(tc.l2_reg))
+        chain.append(optax.add_decayed_weights(tc.l2_reg, mask=decay_mask))
     chain.append(optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2, eps=1e-8))
     sched = make_schedule(tc)
     if sched is None:

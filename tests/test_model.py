@@ -332,3 +332,39 @@ def test_fuzz_forward_parity(trial):
     want = oracle.carca_forward(to_np(params), cfg, (p_x, attrs[p_x], p_c),
                                 [(o_x, attrs[o_x], o_c)], train=train)
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_l2_decay_never_touches_sinusoidal_table():
+    """Regression: unmasked add_decayed_weights injected l2_reg*pe as a
+    fake gradient into the constant sin/cos table (a torch *buffer* in the
+    reference that the optimizer never touches) and eroded it every step."""
+    from carca_tpu.train.state import TrainState, create_train_state, make_optimizer
+    from carca_tpu.config import TrainConfig
+    import optax
+
+    cfg = mk_cfg(encoding="positional", decoder="dot")
+    tc = TrainConfig(l2_reg=0.01)
+    tx = make_optimizer(tc)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, tc, tx)
+    pe0 = np.asarray(state.params["embed"]["enc"]["pe"]).copy()
+
+    rng = np.random.default_rng(0)
+    p_x = rng.integers(1, NI, (4, L)).astype(np.int32)
+    o_x = rng.integers(1, NI, (4, L)).astype(np.int32)
+    attrs = rng.standard_normal((NI, NA)).astype(np.float32)
+    p_c = rng.standard_normal((4, L, NC)).astype(np.float32)
+    o_c = rng.standard_normal((4, L, NC)).astype(np.float32)
+
+    def loss_fn(params):
+        y = carca_apply(params, cfg, (p_x, attrs[p_x], p_c),
+                        [(o_x, attrs[o_x], o_c)], train=True,
+                        rng=jax.random.PRNGKey(1))
+        return jnp.sum(y)
+
+    for _ in range(3):
+        g = jax.grad(loss_fn)(state.params)
+        up, opt = tx.update(g, state.opt_state, state.params)
+        state = TrainState(params=optax.apply_updates(state.params, up),
+                           opt_state=opt, rng=state.rng, step=state.step + 1)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["embed"]["enc"]["pe"]), pe0)
