@@ -73,6 +73,19 @@ def device_sample_negatives(
     (docs/DESIGN.md #11).
     """
     b = profile.shape[0]
+    if events is None and n_slots < n_items <= 32768:
+        # small catalogs (with enough ids to fill the slots): exact
+        # sampling WITHOUT replacement (the
+        # reference's semantics — distinct negatives, excluding the
+        # reject set) via top-k of iid uniform keys. The [B, n_items] key
+        # matrix is cheap here, and this is exactly the regime where the
+        # independent-draw duplicate rate (~S²/2n per row) is material:
+        # at 2k items / 100 eval draws it cost ~0.04 test HR@10.
+        keys = jax.random.uniform(rng, (b, n_items))
+        keys = keys.at[:, 0].set(-jnp.inf)  # pad id never sampled
+        keys = keys.at[jnp.arange(b)[:, None], profile].set(-jnp.inf)
+        _, ids = jax.lax.top_k(keys, n_slots)
+        return ids.astype(profile.dtype)
     if events is not None:
         eidx = jax.random.randint(
             rng, (b, n_slots, retries), 0, events.shape[0], jnp.int32)
