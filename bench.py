@@ -86,7 +86,10 @@ def main() -> None:
     users = dd.users("train")
     rng = np.random.default_rng(0)
     inner = tc.inner_steps
-    rows = [r for r in epoch_batches(users, tc.batch_size, rng, shuffle=True)]
+    # full batches only: the last partial batch carries -1 pad rows the
+    # assembler masks out, which would inflate the examples/sec numerator
+    rows = [r for r in epoch_batches(users, tc.batch_size, rng, shuffle=True)
+            if (r >= 0).all()]
     chunks = [jnp.asarray(np.stack([rows[(j * inner + i) % len(rows)]
                                     for i in range(inner)]), jnp.int32)
               for j in range(4)]

@@ -76,7 +76,16 @@ def main() -> None:
     t_embed = time.perf_counter() - t0  # steady-state (once per eval sweep)
 
     results = {}
-    for use_kernel in ((True,) if args.kernel_only else (False, True)):
+    on_tpu = jax.default_backend() == "tpu"
+    if args.kernel_only and not on_tpu:
+        raise SystemExit("--kernel_only needs a TPU (interpret mode would "
+                         "take hours over a full catalog)")
+    legs = ((True,) if args.kernel_only
+            else (False, True) if on_tpu else (False,))
+    if not on_tpu and not args.kernel_only:
+        print("# no TPU: skipping the Pallas-kernel leg (interpret mode)",
+              file=sys.stderr)
+    for use_kernel in legs:
         topk = jax.jit(
             lambda p, prof, a, emb: full_catalog_topk(
                 p, mc, prof, a, args.k, catalog_emb=emb,
@@ -92,6 +101,7 @@ def main() -> None:
         results["kernel" if use_kernel else "xla"] = args.steps * b / dt
 
     results.setdefault("xla", 0.0)
+    results.setdefault("kernel", 0.0)
     queries_per_sec = max(results.values())
     result = {
         "metric": "catalog_candidates_scored_per_sec",

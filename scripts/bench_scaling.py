@@ -56,7 +56,8 @@ def run_one(n_devices: int, args) -> dict:
                      n_ctx=cat.n_ctx, d=64, g=256, seq_len=50,
                      target_len=100, n_blocks=2, n_heads=2, dropout=0.5,
                      embedding="all", decoder="ca", use_pallas=False)
-    global_batch = args.per_chip_batch * (n_devices // model_par)
+    data_axis = n_devices // model_par
+    global_batch = args.per_chip_batch * data_axis
     tc = TrainConfig(batch_size=global_batch, seed=0)
     tx = make_optimizer(tc)
     state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx)
@@ -85,7 +86,7 @@ def run_one(n_devices: int, args) -> dict:
         state, loss = step(state, attrs, batch)
     sync(loss)
     dt = time.perf_counter() - t0
-    return {"devices": n_devices, "global_batch": global_batch,
+    return {"devices": n_devices, "data_axis": data_axis, "global_batch": global_batch,
             "examples_per_sec": round(args.steps * global_batch / dt, 1)}
 
 
@@ -109,11 +110,9 @@ def main() -> None:
     for n in (int(s) for s in args.sizes.split(",")):
         env = dict(os.environ)
         if args.platform == "cpu":
-            env.pop("PALLAS_AXON_POOL_IPS", None)  # dev-box TPU relay plugin
-            env["JAX_PLATFORMS"] = "cpu"
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                                + f" --xla_force_host_platform_device_count={n}"
-                                ).strip()
+            sys.path.insert(0, ROOT)
+            from carca_tpu.utils.hostenv import virtual_cpu_env
+            env = virtual_cpu_env(n)
         cmd = [sys.executable, os.path.abspath(__file__), "--_child", str(n),
                "--per_chip_batch", str(args.per_chip_batch),
                "--steps", str(args.steps)]
@@ -126,11 +125,18 @@ def main() -> None:
             raise RuntimeError(f"size {n} failed")
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
 
-    base = results[0]["examples_per_sec"] / results[0]["devices"]
+    # per-chip = per DATA-axis chip (the per-chip batch is defined per
+    # data shard; model shards split the lookup, not the batch), and the
+    # efficiency baseline is the SMALLEST size actually run
+    def data_chips(r):
+        return r.get("data_axis", r["devices"])
+
+    base = results[0]["examples_per_sec"] / data_chips(results[0])
+    base_n = results[0]["devices"]
     for r in results:
-        per_chip = r["examples_per_sec"] / r["devices"]
+        per_chip = r["examples_per_sec"] / data_chips(r)
         r["per_chip"] = round(per_chip, 1)
-        r["efficiency_vs_1dev"] = round(per_chip / base, 3)
+        r[f"efficiency_vs_{base_n}dev"] = round(per_chip / base, 3)
         print(json.dumps(r))
 
 

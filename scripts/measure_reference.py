@@ -49,13 +49,17 @@ def main() -> None:
                     default=os.path.join(REPO, "BASELINE_MEASURED.json"))
     args = ap.parse_args()
     default_out = os.path.join(REPO, "BASELINE_MEASURED.json")
-    flagship = ((args.decoder, args.embedding, args.d_dim, args.seq_len)
-                == ("ca", "all", 64, 50))
+    flagship = ((args.decoder, args.embedding, args.d_dim, args.g_dim,
+                 args.seq_len, args.users, args.items, args.batch_size,
+                 args.max_len, args.min_len)
+                == ("ca", "all", 64, 256, 50, 4096, 2000, 256, 30, 4)
+                and args.epochs >= 3)
     if args.out == default_out and not flagship:
         raise SystemExit(
-            "BASELINE_MEASURED.json is the flagship (ca/all d=64 L=50) "
-            "baseline that bench.py compares against — pass --out for "
-            "other configs")
+            "BASELINE_MEASURED.json is the flagship baseline bench.py "
+            "compares against; it may only be overwritten by the exact "
+            "flagship workload (ca/all d=64 g=256 L=50, 4096x2000, batch "
+            "256, >=3 epochs) — pass --out for other configs")
 
     sys.path.insert(0, REPO)
     from carca_tpu.data.synthetic import synthetic_catalog, write_reference_format
@@ -134,9 +138,13 @@ def main() -> None:
     # one epoch; steady-state = later epochs when available
     if train_times:
         epoch_s = sum(train_times) / len(train_times)
+        examples_per_sec = n_train_users / max(epoch_s, 1e-9)
     else:
+        # a 1-epoch run has no isolated train-epoch timing; wall/epochs
+        # would fold imports + data build + eval + checkpointing into the
+        # "throughput" and deflate the baseline
         epoch_s = wall / max(args.epochs, 1)
-    examples_per_sec = n_train_users / max(epoch_s, 1e-9)
+        examples_per_sec = None
 
     result = {
         "source": "r-papso/carca-replication scripts/training.py (torch CPU)",

@@ -97,10 +97,14 @@ def main() -> None:
     for name in names:
         fam = FAMILIES[name]
         path = os.path.join(REPO, f"VALIDATION_{name}.json")
-        result = {"family": name, "config": fam}
+        result = {}
         if os.path.exists(path):
             with open(path) as fh:
                 result.update(json.load(fh))
+        # the CURRENT family definition wins over whatever an older file
+        # recorded — fresh metrics must never be paired with stale config
+        result["family"] = name
+        result["config"] = fam
         if not args.skip_ours:
             ours = run_ours(fam, args.epochs, args.early_stop,
                             os.path.join(REPO, f"results/validate_{name}"))
