@@ -280,6 +280,11 @@ def load_catalog(args, dc=None):
 
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.mesh:
+        # multi-host init must precede ANY JAX computation (including the
+        # device-side synthetic catalog); no-op in a single process
+        from carca_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed()
     catalog = load_catalog(args)
     cfg = config_from_args(args, catalog.n_items, catalog.n_attrs, catalog.n_ctx)
 

@@ -31,8 +31,20 @@ def initialize_distributed(**kw) -> None:
     try:
         jax.distributed.initialize(**kw)
     except RuntimeError as e:
-        if "already" not in str(e).lower():
-            raise
+        msg = str(e).lower()
+        if "already" in msg:
+            return  # initialized earlier — benign
+        if "before any jax calls" in msg:
+            # the backend is already up (e.g. a PJRT plugin initialized it
+            # at import) — on a real pod each process must call this before
+            # touching JAX, but a single-process run is fine to continue
+            import sys
+            sys.stderr.write(
+                "initialize_distributed: XLA backend already initialized; "
+                "continuing single-process (on a pod, call this before any "
+                "JAX usage)\n")
+            return
+        raise
     except ValueError:
         pass  # no coordinator/process env → single-process run
 
