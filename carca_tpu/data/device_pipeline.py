@@ -51,12 +51,26 @@ class DeviceDataset:
         bounds = {m: window_bounds(lengths, self.L, m, test)
                   for m in ("train", "val", "test")}
         self.hist_max = int(lengths.max()) if len(lengths) else 0
+        items = jnp.asarray(catalog.items, jnp.int32)
+        ctx = jnp.asarray(catalog.ctx_vals, jnp.float32)
         self.arrays: Dict[str, jnp.ndarray] = {
-            "items": jnp.asarray(catalog.items, jnp.int32),
-            "ctx": jnp.asarray(catalog.ctx_vals, jnp.float32),
+            "items": items,
+            "ctx": ctx,
+            # item id (as an exact f32 VALUE) ‖ ctx, fused so batch assembly
+            # does ONE row gather per window instead of two: TPU row gathers
+            # pay per row, not per byte, and the two separate gathers
+            # measured ~10% of the flagship train step (profile 2026-08:
+            # s32[13056]←[70065] 86 µs + f32[13056,4]←[70065,4] 114 µs).
+            # Ids ride as float VALUES (exact for id < 2²⁴), NOT a bitcast:
+            # ids bitcast to f32 are denormals, and the TPU flushed them to
+            # zero in a relayout (measured: every gathered id read back 0;
+            # CPU interpret mode preserves them — tests alone missed it)
             "offsets": jnp.asarray(catalog.offsets[:-1], jnp.int32),
             "hist_len": jnp.asarray(lengths, jnp.int32),
         }
+        if catalog.n_items < 2**24:  # beyond 16.7M ids the f32 value is lossy
+            self.arrays["evt_packed"] = jnp.concatenate(
+                [items.astype(jnp.float32)[:, None], ctx], axis=1)
         for m, (s, e) in bounds.items():
             self.arrays[f"start_{m}"] = jnp.asarray(s, jnp.int32)
             self.arrays[f"end_{m}"] = jnp.asarray(e, jnp.int32)
@@ -113,11 +127,15 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     are the dominant assembly cost (measured ~4 ms/step at B=2048 with
     separate p/o/last gathers; halved by the shared window).
     """
-    items, ctx = arrays["items"], arrays["ctx"]
     evt, validw, alive, _, _ = _window_slots(arrays, "train", user_rows, L,
                                              L + 1)
-    w_x = jnp.where(validw, items[evt], 0)  # [B, L+1]
-    w_c = ctx[evt] * validw[..., None]  # [B, L+1, C]
+    if "evt_packed" in arrays:  # one fused gather (absent beyond 2²⁴ items)
+        w = arrays["evt_packed"][evt]  # [B, L+1, 1+C]
+        w_x = jnp.where(validw, w[..., 0].astype(jnp.int32), 0)
+        w_c = w[..., 1:] * validw[..., None]  # [B, L+1, C]
+    else:
+        w_x = jnp.where(validw, arrays["items"][evt], 0)
+        w_c = arrays["ctx"][evt] * validw[..., None]
 
     valid = validw[:, :L]
     p_x = w_x[:, :L]
@@ -152,15 +170,26 @@ def assemble_eval(arrays, L: int, T: int, n_items: int, mode: str,
                   user_rows: jnp.ndarray, rng: jax.Array,
                   reject_width: int = 0) -> Dict[str, jnp.ndarray]:
     """[B] user rows → eval batch (1 held-out positive + T negatives)."""
-    items, ctx = arrays["items"], arrays["ctx"]
+    ctx = arrays["ctx"]
     p_evt, valid, alive, e, off = _profile_slots(arrays, mode, user_rows, L)
 
-    p_x = jnp.where(valid, items[p_evt], 0)
-    p_c = ctx[p_evt] * valid[..., None]
-
     one_out = jnp.where(alive, off + e - 1, 0)
-    pos = jnp.where(alive, items[one_out], 0)
-    pos_c = ctx[one_out] * alive[:, None]
+    if "evt_packed" in arrays:
+        # profile window + held-out positive in ONE fused row gather (see
+        # ``evt_packed`` in DeviceDataset)
+        w = arrays["evt_packed"][
+            jnp.concatenate([p_evt, one_out[:, None]], axis=1)]
+        w_x = w[..., 0].astype(jnp.int32)
+        p_x = jnp.where(valid, w_x[:, :L], 0)
+        p_c = w[:, :L, 1:] * valid[..., None]
+        pos = jnp.where(alive, w_x[:, L], 0)
+        pos_c = w[:, L, 1:] * alive[:, None]
+    else:
+        items = arrays["items"]
+        p_x = jnp.where(valid, items[p_evt], 0)
+        p_c = ctx[p_evt] * valid[..., None]
+        pos = jnp.where(alive, items[one_out], 0)
+        pos_c = ctx[one_out] * alive[:, None]
 
     visible = (_history_rows(arrays, user_rows, reject_width)
                if reject_width > 0

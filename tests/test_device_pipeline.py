@@ -53,6 +53,32 @@ def test_train_assembly_matches_host(setup):
         assert not row_negs & set(pos[b][pos[b] > 0].tolist())
 
 
+def test_packed_gather_fallback_matches(setup):
+    """The fused evt_packed gather (item ids ride as exact f32 values) must
+    agree field-for-field with the separate-gather fallback used beyond
+    2²⁴ items. Ids must NOT be bitcast: on real TPU hardware ids bitcast to
+    f32 are denormals and get flushed to zero in a relayout (caught only by
+    an on-chip run; this CPU test pins the two paths to each other)."""
+    cat, L, T, host, dev = setup
+    rows = jnp.asarray(np.concatenate([host.users("train")[:16], [-1]]),
+                       jnp.int32)
+    nopack = {k: v for k, v in dev.arrays.items() if k != "evt_packed"}
+    assert "evt_packed" in dev.arrays
+    a = assemble_train(dev.arrays, L, cat.n_items, rows, jax.random.PRNGKey(7))
+    b = assemble_train(nopack, L, cat.n_items, rows, jax.random.PRNGKey(7))
+    for key in a:
+        np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]),
+                                      err_msg=key)
+    rows_e = jnp.asarray(host.users("test")[:12], jnp.int32)
+    a = assemble_eval(dev.arrays, L, T, cat.n_items, "test", rows_e,
+                      jax.random.PRNGKey(8))
+    b = assemble_eval(nopack, L, T, cat.n_items, "test", rows_e,
+                      jax.random.PRNGKey(8))
+    for key in a:
+        np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]),
+                                      err_msg=key)
+
+
 @pytest.mark.parametrize("mode", ["val", "test"])
 def test_eval_assembly_matches_host(setup, mode):
     cat, L, T, host, dev = setup
