@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import time
 
 import jax
@@ -103,11 +104,12 @@ def main() -> None:
         state, losses = step(state, attrs, dd.arrays, chunks[i % len(chunks)])
     sync(losses)
 
-    # median of 3 timed windows: single-window numbers on this host swing
+    # median of N timed windows: single-window numbers on this host swing
     # ~5% run-to-run (queue warmup, host jitter); the median is stable
+    n_windows = 3
     n_calls = max(1, 100 // inner)
     rates = []
-    for _ in range(3):
+    for _ in range(n_windows):
         t0 = time.perf_counter()
         for i in range(n_calls):
             state, losses = step(state, attrs, dd.arrays,
@@ -116,7 +118,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         rates.append(n_calls * inner * tc.batch_size / dt)
 
-    examples_per_sec = sorted(rates)[1]
+    examples_per_sec = statistics.median(rates)
 
     baseline = None
     base_file = ("VALIDATION_men_ref.json" if args.config == "men"

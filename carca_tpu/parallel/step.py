@@ -39,6 +39,25 @@ def _lookup_for(mesh: Mesh, shard_embeddings: bool):
     return _default_lookup
 
 
+def _constrain_batch(batch: dict, mesh: Mesh) -> dict:
+    """Pin device-assembled batch tensors to ``P('data', …)``.
+
+    The assembled tensors carry no shardings of their own, and XLA's
+    propagation pass is free to invent one per use — observed on the 8-dev
+    dryrun: the ``y_true`` concat was given a dim-1 sharding, forcing an
+    "involuntary full rematerialization" (replicate-then-reshard) of every
+    loss intermediate. One explicit constraint per tensor removes the
+    ambiguity.
+    """
+    def pin(x):
+        if getattr(x, "ndim", 0) == 0:  # n_valid scalar
+            return x
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return {k: pin(v) for k, v in batch.items()}
+
+
 def make_sharded_train_step(
     mc,
     tx,
@@ -134,8 +153,9 @@ def make_sharded_device_train_step(
 
     def one_step(attrs_table, arrays, state: TrainState, rows):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
-        batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
-                               reject_width, neg_pop)
+        batch = _constrain_batch(
+            assemble_train(arrays, L, mc.n_items, rows, neg_rng,
+                           reject_width, neg_pop), mesh)
         if sparse_items:
             # the sub-table gather/scatter is partitioned by XLA SPMD over
             # the row-sharded table; attrs lookups keep the shard_map path
@@ -172,8 +192,9 @@ def make_sharded_device_eval_step(
     lookup = _lookup_for(mesh, shard_embeddings)
 
     def one_eval(params, attrs_table, arrays, rows, rng):
-        batch = assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
-                              mode, rows, rng, reject_width)
+        batch = _constrain_batch(
+            assemble_eval(arrays, mc.seq_len, mc.target_len, mc.n_items,
+                          mode, rows, rng, reject_width), mesh)
         hr, ndcg, loss = eval_metrics(mc, top_k, params, batch, attrs_table,
                                       lookup=lookup)
         return hr, ndcg, loss, batch["n_valid"]
