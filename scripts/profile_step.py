@@ -15,8 +15,11 @@ import glob
 import gzip
 import json
 import os
+import sys
 import tempfile
 from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +102,7 @@ def main() -> None:
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             names[(e.get("pid"), e.get("tid"))] = e["args"].get("name", "")
     by_op: dict[str, list[float]] = defaultdict(list)
+    labels: dict[str, str] = {}
     device_total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -112,6 +116,11 @@ def main() -> None:
             continue
         by_op[e["name"]].append(e["dur"])
         device_total += e["dur"]
+        a = e.get("args") or {}
+        lbl = (a.get("long_name") or a.get("tf_op") or a.get("hlo_op")
+               or a.get("source") or "")
+        if lbl and e["name"] not in labels:
+            labels[e["name"]] = str(lbl)
 
     n_steps = args.calls * inner
     print(f"# tracks matched: "
@@ -124,7 +133,8 @@ def main() -> None:
     for name, durs in rows[: args.top]:
         tot = sum(durs)
         print(f"{tot / n_steps:9.1f}  {100 * tot / device_total:5.1f}  "
-              f"{len(durs) / args.calls:5.0f}  {name[:110]}")
+              f"{len(durs) / args.calls:5.0f}  {name[:50]:50}  "
+              f"{labels.get(name, '')[:140]}")
 
 
 if __name__ == "__main__":
