@@ -3,15 +3,20 @@
 The reference draws fresh negatives per example per epoch with a Python
 rejection loop (``src/data.py:77-87``) — the CPU bottleneck flagged in
 SURVEY.md §3.1. At scale the framework samples on device instead: uniform
-ids in ``[1, n_items-1]`` with a fixed number of retry draws, rejecting
-collisions against the *visible profile window*.
+ids in ``[1, n_items-1]`` with a fixed number of retry draws rejecting
+collisions against the *visible profile window*, then an overdraw-and-
+dedupe pass that makes each row's negatives **distinct** (exact sampling
+without replacement — the reference's semantics — at any catalog size;
+see ``device_sample_negatives``).
 
 Approximation note (documented at ``DataConfig.device_sampling``): the
 reference rejects against the user's full history; on device only the
-length-L window is resident. For the catalogs this targets (≥100k items)
-the acceptance probability per draw is ≥ 1 − L/n_items ≈ 0.999, and the
-chance any of the ``retries`` draws all collide is negligible; the final
-draw is used unconditionally in that case (keeps shapes static).
+length-L window is resident unless ``reject_width`` widens it (the
+``DataConfig.exact_rejection`` policy). For the catalogs the window-only
+mode targets (≥100k items) the acceptance probability per draw is
+≥ 1 − L/n_items ≈ 0.999, and the chance any of the ``retries`` draws all
+collide is negligible; the final draw is used unconditionally in that
+case (keeps shapes static).
 """
 
 from __future__ import annotations
@@ -48,6 +53,51 @@ def retries_for(reject_width: int, n_items: int,
     return max(8, min(64, math.ceil(-12.0 / math.log10(p))))
 
 
+def overdraw_for(n_slots: int, n_items: int, reject_width: int) -> int | None:
+    """Candidate count for the WOR-by-dedupe sampler, or None if infeasible.
+
+    Drawing O ids iid-uniform from the allowed set and keeping the first
+    ``n_slots`` *distinct* in draw order is exactly uniform sampling
+    without replacement (the distinct values of an iid sequence form a
+    uniform random permutation prefix). The margin ``m = O − n_slots``
+    must exceed the expected duplicate count D ≈ O²/(2A) (A = allowed-set
+    size) by a large deviation; m ≥ D + 10·√(D + 0.15) + 4 keeps the
+    Poisson tail of a short row ≲ 1e−12 per row (the failure mode is a
+    duplicate slipping into the tail slots — the same class of fallback
+    the retry sampler already documents; shapes stay static).
+
+    Returns None when no O ≤ 4·n_slots + 64 satisfies the margin (slots
+    close to the catalog size — coupon-collector regime), where the dense
+    top-k path is the right tool instead.
+    """
+    a = n_items - 1 - reject_width  # pessimistic allowed-set size
+    if a <= n_slots:
+        return None
+    cap = 4 * n_slots + 64
+    o = n_slots + 8
+    while o <= cap:
+        d = o * o / (2.0 * a)
+        if o - n_slots >= d + 10.0 * math.sqrt(d + 0.15) + 4.0:
+            return o
+        o += 8
+    return None
+
+
+def _first_distinct(draws: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+    """[B, O] iid draws → the first ``n_slots`` distinct values in draw
+    order (two stable [B, O] sorts; O(B·O log O) ≪ the [B, n_items] keyed
+    sort it replaces)."""
+    b, o = draws.shape
+    pos = jnp.broadcast_to(jnp.arange(o, dtype=jnp.int32), draws.shape)
+    sv, sp = jax.lax.sort((draws, pos), num_keys=1)  # stable: ties by pos
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
+    # non-duplicates first (in draw order), duplicates after
+    rank = sp + dup.astype(jnp.int32) * (2 * o)
+    _, out = jax.lax.sort((rank, sv), num_keys=1)
+    return out[:, :n_slots]
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def device_sample_negatives(
     rng: jax.Array,
@@ -57,12 +107,22 @@ def device_sample_negatives(
     retries: int = 8,
     events: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Sample ``[B, n_slots]`` negative ids avoiding ``profile`` [B, L].
+    """Sample ``[B, n_slots]`` negative ids avoiding ``profile`` [B, L],
+    **without replacement** within each row (the reference's semantics:
+    distinct negatives, excluding the reject set, ``src/data.py:77-87``).
 
     Default domain matches the reference's sampler:
     ``random.randint(1, n_items-1)`` is inclusive on both ends
     (``src/data.py:82``), i.e. uniform over ``{1, …, n_items-1}`` —
     exactly ``jax.random.randint(…, 1, n_items)``.
+
+    Mechanism: overdraw O rejection-sampled ids per row, keep the first
+    ``n_slots`` distinct in draw order — exact WOR at any catalog size
+    (see ``overdraw_for``; measured ~3× cheaper than the [B, n_items]
+    Gumbel-top-k it replaced at the flagship shape, and it extends the
+    distinct-negatives guarantee to catalogs beyond the old 32768-id
+    cutoff). Falls back to dense top-k of iid uniform keys when slots
+    approach the catalog size.
 
     With ``events`` (the CSR event-item array) draws are **popularity-
     proportional** instead: a uniform random event's item id IS a draw
@@ -70,29 +130,28 @@ def device_sample_negatives(
     no CDF table. No reference counterpart (its sampler is uniform-only);
     this exists because uniform negatives over an extreme-sparsity
     catalog never teach the model about the items it actually serves
-    (docs/DESIGN.md #11).
+    (docs/DESIGN.md #11). Popularity draws keep within-row duplicates
+    (dedupe would distort the distribution toward the tail).
     """
     b = profile.shape[0]
-    if events is None and n_slots < n_items <= 32768:
-        # small catalogs (with enough ids to fill the slots): exact
-        # sampling WITHOUT replacement (the
-        # reference's semantics — distinct negatives, excluding the
-        # reject set) via top-k of iid uniform keys. The [B, n_items] key
-        # matrix is cheap here, and this is exactly the regime where the
-        # independent-draw duplicate rate (~S²/2n per row) is material:
-        # at 2k items / 100 eval draws it cost ~0.04 test HR@10.
+    overdraw = (overdraw_for(n_slots, n_items, profile.shape[1])
+                if events is None else None)
+    if events is None and overdraw is None and n_slots < n_items <= 32768:
+        # coupon-collector regime (slots ≈ catalog): exact WOR via top-k
+        # of iid uniform keys over the whole id space
         keys = jax.random.uniform(rng, (b, n_items))
         keys = keys.at[:, 0].set(-jnp.inf)  # pad id never sampled
         keys = keys.at[jnp.arange(b)[:, None], profile].set(-jnp.inf)
         _, ids = jax.lax.top_k(keys, n_slots)
         return ids.astype(profile.dtype)
+    width = overdraw or n_slots
     if events is not None:
         eidx = jax.random.randint(
-            rng, (b, n_slots, retries), 0, events.shape[0], jnp.int32)
+            rng, (b, width, retries), 0, events.shape[0], jnp.int32)
         draws = events[eidx].astype(profile.dtype)
     else:
         draws = jax.random.randint(
-            rng, (b, n_slots, retries), 1, n_items, dtype=profile.dtype)
+            rng, (b, width, retries), 1, n_items, dtype=profile.dtype)
     # collision of each draw against the window: [B, S, R] via all-pairs
     # compare (vectorized compare beats a [B, n_items] scatter/gather bitmap
     # on TPU — measured 0.6 vs 1.9 ms/step at B=256, S=50, R=8, L=51)
@@ -101,4 +160,7 @@ def device_sample_negatives(
     first_ok = jnp.argmax(~hit, axis=-1)  # 0 if none ok → but then use last
     any_ok = jnp.any(~hit, axis=-1)
     idx = jnp.where(any_ok, first_ok, retries - 1)
-    return jnp.take_along_axis(draws, idx[..., None], axis=-1)[..., 0]
+    picked = jnp.take_along_axis(draws, idx[..., None], axis=-1)[..., 0]
+    if overdraw is None:
+        return picked
+    return _first_distinct(picked, n_slots)

@@ -292,3 +292,45 @@ def test_fit_mesh_resume_and_device_sampling(tmp_path):
     _, m2 = fit(Config(model=mc, data=dc, train=tc(4)), cat, log=False)
     assert m2["epochs_run"] == 4
     assert np.isfinite(m2["val_ndcg"])
+
+
+def test_device_sample_negatives_without_replacement():
+    """The overdraw-then-dedupe path is exact WOR: distinct within each
+    row, window excluded, near-uniform over the allowed set, and fresh
+    per key — at small AND large catalogs (the old dense-top-k guarantee
+    stopped at 32768 ids)."""
+    from carca_tpu.parallel.sampling import overdraw_for, retries_for
+
+    assert overdraw_for(50, 2001, 51) is not None
+    assert overdraw_for(50, 10_000_001, 51) is not None
+    assert overdraw_for(18, 30, 9) is None  # coupon-collector → top-k path
+
+    rng = np.random.default_rng(3)
+    for n_items in (2001, 60_000):
+        profile = jnp.asarray(rng.integers(1, n_items, (16, 51)), jnp.int32)
+        negs = np.asarray(device_sample_negatives(
+            jax.random.PRNGKey(5), profile, n_items, 50,
+            retries_for(51, n_items)))
+        assert negs.min() >= 1 and negs.max() < n_items
+        for b in range(negs.shape[0]):
+            assert len(set(negs[b].tolist())) == 50  # distinct
+            assert not np.isin(negs[b], np.asarray(profile[b])).any()
+        other = np.asarray(device_sample_negatives(
+            jax.random.PRNGKey(6), profile, n_items, 50,
+            retries_for(51, n_items)))
+        assert (negs != other).any()  # fresh draws per key
+
+    # uniform marginals over the allowed set (loose 5-sigma band on the
+    # per-id count over many draws; catches any draw-order or dedupe bias)
+    n_items, slots, reps = 401, 40, 150
+    profile = jnp.zeros((32, 1), jnp.int32)  # nothing forbidden but pad
+    counts = np.zeros(n_items, np.int64)
+    for t in range(reps):
+        out = np.asarray(device_sample_negatives(
+            jax.random.PRNGKey(t), profile, n_items, slots, 8))
+        np.add.at(counts, out.reshape(-1), 1)
+    assert counts[0] == 0
+    exp = counts[1:].mean()
+    sigma = np.sqrt(exp)  # ≈ Poisson
+    assert (np.abs(counts[1:] - exp) < 5 * sigma).all(), (
+        counts[1:].min(), exp, counts[1:].max())
