@@ -24,7 +24,7 @@ O(shards·k) all-gather).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 _BIG_COL = 2**30
+
+
+class QuantizedIndex(NamedTuple):
+    """Symmetric per-row int8 catalog index: row r of the f32/bf16
+    embedding matrix is ``qvals[r] * scales[0, r]``. Quarters the HBM
+    catalog scan vs f32 (halves vs bf16) — the scan is what bounds
+    retrieval throughput at multi-million-item catalogs (module
+    docstring). Build with ``quantize_index`` AFTER
+    ``catalog_in_decoder_space`` (the scales bake in the row geometry,
+    so the transform cannot be applied afterwards)."""
+
+    qvals: jnp.ndarray   # [R, d] int8
+    scales: jnp.ndarray  # [1, R] float32 (kernel-friendly row layout)
+
+    @property
+    def rows(self) -> int:
+        return self.qvals.shape[0]
+
+
+def quantize_index(e: jnp.ndarray) -> QuantizedIndex:
+    """[R, d] float → per-row symmetric int8 (max-abs scaling).
+
+    An all-zero row (the pad) gets scale 0 and scores exactly 0. Ranking
+    error is bounded by the per-element quantization step (≤ max|row|/127
+    per coordinate); near-ties may reorder — the serving rerank stage
+    re-scores shortlists exactly, and ``tests/test_retrieval.py`` pins the
+    end-to-end recall impact."""
+    e = e.astype(jnp.float32)
+    s = jnp.max(jnp.abs(e), axis=1) / 127.0
+    q = jnp.where(s[:, None] > 0, jnp.round(e / jnp.maximum(s, 1e-30)[:, None]), 0.0)
+    return QuantizedIndex(
+        jnp.clip(q, -127, 127).astype(jnp.int8),
+        s.astype(jnp.float32)[None, :])
+
+
+def dequantize_index(qi: QuantizedIndex) -> jnp.ndarray:
+    """Exact float reconstruction of the quantized rows (the XLA fallback
+    path and tests score against this)."""
+    return qi.qvals.astype(jnp.float32) * qi.scales[0][:, None]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -71,10 +110,72 @@ def _extract_topk_inplace(s_ref, ids, k: int):
         (jnp.full((b, k), NEG_INF, jnp.float32), jnp.zeros((b, k), jnp.int32)))
 
 
-def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref,
-            s_ref):
+_PACK_BITS = 12           # lane-id payload width (chunk ≤ 4096 columns)
+_PACK_MASK = (1 << _PACK_BITS) - 1
+_KEY_MIN = -(2**31)       # masked-entry key (and suppression sentinel)
+
+
+def _float_key(s: jnp.ndarray) -> jnp.ndarray:
+    """f32 → int32 key with float ordering preserved under SIGNED integer
+    compare (flip the low 31 bits of negatives — the classic IEEE trick).
+    Integer domain matters: packing an id payload into low *mantissa* bits
+    was measured to break on scores of exactly 0.0 — the payload lands in
+    the denormal range and the VPU's flush-to-zero erases it, so the
+    suppress-by-equality wiped whole rows (zero queries are routine: batch
+    padding embeds to zero). Integers don't flush."""
+    b = jax.lax.bitcast_convert_type(s, jnp.int32)
+    return jnp.where(b < 0, b ^ jnp.int32(0x7FFFFFFF), b)
+
+
+def _key_float(key: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``_float_key`` (payload bits must already be cleared)."""
+    fb = jnp.where(key < 0, key ^ jnp.int32(0x7FFFFFFF), key)
+    return jax.lax.bitcast_convert_type(fb, jnp.float32)
+
+
+def _extract_topk_packed(key_ref, col0, k: int):
+    """Top-k extraction over an int32 key buffer whose low ``_PACK_BITS``
+    carry each entry's lane id (see the packing in ``_kernel``).
+
+    Packed keys are unique per row (masked entries excepted — they sit at
+    exactly ``_KEY_MIN`` and can only "win" in an exhausted row), so each
+    round is just row-max + suppress-by-equality — 2 VMEM passes instead
+    of the id-recovery variant's ~6 (``_extract_topk_inplace``). The id
+    payload perturbs scores by ≤ 2^-11 relative (less than the bf16 input
+    rounding of the modes this path serves), so it is used only for
+    bf16/int8 catalogs — the f32 path keeps exact-parity extraction.
+    Near-tie order is payload-defined and unspecified in these modes."""
+    b = key_ref.shape[0]
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
+    def body(t, carry):
+        wv, wi = carry
+        s = key_ref[:]
+        m = jnp.max(s, axis=1, keepdims=True)  # [B, 1] int key max
+        key_ref[:] = jnp.where(s == m, jnp.int32(_KEY_MIN), s)
+        mk = m[:, 0]
+        cleared = mk & ~jnp.int32(_PACK_MASK)
+        gid = (col0 + (mk & _PACK_MASK))[:, None]
+        val = jnp.where(cleared == _KEY_MIN, NEG_INF,
+                        _key_float(cleared))[:, None]
+        slot = kcols == t
+        wv = jnp.where(slot, val, wv)
+        wi = jnp.where(slot, gid, wi)
+        return wv, wi
+
+    return jax.lax.fori_loop(
+        0, k, body,
+        (jnp.full((b, k), NEG_INF, jnp.float32), jnp.zeros((b, k), jnp.int32)))
+
+
+def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, *rest):
     # lim_ref (SMEM int32[2]): [n_valid_local, mask_row0] — runtime scalars
     # so a shard_map shard can pass its traced offset window.
+    # With an int8 index ``rest`` leads with the [1, C] row-scale block.
+    if len(rest) == 4:
+        scl_ref, ov_ref, oi_ref, s_ref = rest
+    else:
+        scl_ref, (ov_ref, oi_ref, s_ref) = None, rest
     j = pl.program_id(0)
     b = q_ref.shape[0]
 
@@ -84,23 +185,40 @@ def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref,
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
     q = q_ref[:]  # [B, d]
-    e = e_ref[:]  # [C, d] — may be bf16 (halves the HBM scan); accum fp32
+    e = e_ref[:]  # [C, d] — may be bf16 (halves the HBM scan) or int8
+    cd = jnp.bfloat16 if e.dtype == jnp.int8 else e.dtype
     s = jax.lax.dot_general(
-        q.astype(e.dtype), e, dimension_numbers=(((1,), (1,)), ((), ())),
+        q.astype(cd), e.astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [B, C]
+    )  # [B, C] — int8 magnitudes ≤ 127 are exact in bf16
+    if scl_ref is not None:
+        s = s * scl_ref[:]  # [1, C] per-row dequantization scales
     col0 = j * chunk
     gids = col0 + jax.lax.broadcasted_iota(jnp.int32, (b, s.shape[1]), 1)
     # padded catalog rows (and, when this slice starts at the global pad
     # row, local id 0) → −inf
     bad = (gids >= lim_ref[0]) | ((gids == 0) & (lim_ref[1] == 1))
-    s_ref[:] = jnp.where(bad, NEG_INF, s)
 
     # NB: a data-dependent @pl.when gate around the merge ("skip chunks that
     # can't improve the running top-k") measured ~100× SLOWER on Mosaic —
     # the conditional region defeats the grid's DMA/compute pipelining.
     # Unconditional extraction is O(k·C) VPU work per chunk but pipelines.
-    lv, li = _extract_topk_inplace(s_ref, gids, k)  # [B, k] chunk winners
+    if s_ref.dtype == jnp.int32:
+        # approximate modes (bf16/int8 catalogs): order-preserving int32
+        # keys with each lane's id in the low bits, making rows unique —
+        # extraction drops to 2 VMEM passes per round
+        # (_extract_topk_packed). The extraction, not the catalog scan, is
+        # the at-scale bottleneck (k·B·R VPU element-passes vs R·d HBM
+        # bytes); measured at 10M items, B=256, k=10: bf16 3.26k → 4.34k
+        # queries/s, int8 3.54k → 4.83k
+        lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        key = (_float_key(s) & ~jnp.int32(_PACK_MASK)) | lane
+        s_ref[:] = jnp.where(bad, jnp.int32(_KEY_MIN), key)
+        lv, li = _extract_topk_packed(s_ref, col0, k)
+    else:
+        s_ref[:] = jnp.where(bad, NEG_INF, s)
+        lv, li = _extract_topk_inplace(s_ref, gids, k)  # [B, k] chunk winners
     # merge the 2K candidates (tiny [B, 2k] values, loop-carried): list
     # position is the tie-break (running list first → stable order), ids
     # recovered by masked sum (no gather on Mosaic)
@@ -131,7 +249,7 @@ def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, ov_ref, oi_ref,
 
 def catalog_topk(
     q: jnp.ndarray,
-    catalog_emb: jnp.ndarray,
+    catalog_emb: Union[jnp.ndarray, QuantizedIndex],
     k: int,
     *,
     n_items: Optional[int] = None,
@@ -151,8 +269,12 @@ def catalog_topk(
     quantized to bf16 for the MXU (fp32 accumulation) — a kernel-path
     precision choice the XLA fallback does not mirror, so near-tied ranks
     may differ between paths at bf16 (exact parity is guaranteed, and
-    tested, at fp32).
+    tested, at fp32). A ``QuantizedIndex`` quarters the scan (int8 rows +
+    per-row scales applied to the score tile).
     """
+    scales = None
+    if isinstance(catalog_emb, QuantizedIndex):
+        catalog_emb, scales = catalog_emb.qvals, catalog_emb.scales
     b, d = q.shape
     r = catalog_emb.shape[0]
     n_items = n_items if n_items is not None else id_offset + r
@@ -173,6 +295,8 @@ def catalog_topk(
     pad = rp - r
     if pad:
         catalog_emb = jnp.pad(catalog_emb, ((0, pad), (0, 0)))
+        if scales is not None:
+            scales = jnp.pad(scales, ((0, 0), (0, pad)))
 
     if k > c:
         raise ValueError(
@@ -189,15 +313,22 @@ def catalog_topk(
     lim = jnp.stack([jnp.minimum(jnp.asarray(n_items, jnp.int32) - id_offset,
                                  jnp.asarray(r, jnp.int32)),
                      (id_offset == 0).astype(jnp.int32)])
+    pack = catalog_emb.dtype != jnp.float32 and c <= (1 << _PACK_BITS)
     kern = functools.partial(_kernel, k, c)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lim (2,)
+        pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [lim, q, catalog_emb]
+    if scales is not None:
+        in_specs.append(
+            pl.BlockSpec((1, c), lambda j: (0, j), memory_space=pltpu.VMEM))
+        args.append(scales)
     vals, cols = pl.pallas_call(
         kern,
         grid=(rp // c,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lim (2,)
-            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -207,7 +338,9 @@ def catalog_topk(
             jax.ShapeDtypeStruct((b, k), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, c), jnp.float32),  # score tile (in-place suppress)
+            # score tile (suppressed in place); the packed-extraction
+            # modes hold int32 ordering keys instead of raw scores
+            pltpu.VMEM((b, c), jnp.int32 if pack else jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * rp * d,
@@ -216,7 +349,7 @@ def catalog_topk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(lim, q, catalog_emb)
+    )(*args)
     # cols are local (0-based over this slice's rows); shift to global ids,
     # mapping fully-masked slots (vals == −inf) to the pad id 0
     return vals, jnp.where(vals > NEG_INF, cols + id_offset, 0)

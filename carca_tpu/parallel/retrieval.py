@@ -178,16 +178,30 @@ def topk_given_queries(
     with global id ``row_ids[r]`` (row 0 must be the pad, id 0). Returned
     ids are global; exclusion happens in global id space. This is how a
     seen-only serving index scores a sub-catalog without reshaping the
-    model's tables (``evaluate_retrieval(seen_only=True)``)."""
-    if k > e.shape[0]:
+    model's tables (``evaluate_retrieval(seen_only=True)``).
+
+    ``e`` may be a ``QuantizedIndex`` (int8 rows + per-row scales —
+    ops/retrieval_topk.quantize_index); it must then already be in
+    decoder space (the scales bake the row geometry in)."""
+    from carca_tpu.ops.retrieval_topk import QuantizedIndex, dequantize_index
+
+    quantized = isinstance(e, QuantizedIndex)
+    rows = e.rows if quantized else e.shape[0]
+    if k > rows:
         raise ValueError(
-            f"top-k k={k} exceeds the catalog size {e.shape[0]}")
-    if not in_decoder_space:
+            f"top-k k={k} exceeds the catalog size {rows}")
+    if quantized:
+        if not in_decoder_space:
+            raise ValueError(
+                "a QuantizedIndex is built from decoder-space embeddings; "
+                "pass in_decoder_space=True (see quantize_index)")
+        if not use_kernel:
+            e = dequantize_index(e)  # exact float reconstruction
+    elif not in_decoder_space:
         e = catalog_in_decoder_space(e, cfg)
-    n_local = e.shape[0] if row_ids is not None else cfg.n_items
+    n_local = rows if row_ids is not None else cfg.n_items
     if use_kernel:
-        kk = min(k + (exclude.shape[1] if exclude is not None else 0),
-                 e.shape[0])
+        kk = min(k + (exclude.shape[1] if exclude is not None else 0), rows)
         from carca_tpu.ops.retrieval_topk import catalog_topk
         v, rid = catalog_topk(q, e, kk, n_items=n_local)
         if row_ids is not None:
@@ -246,12 +260,15 @@ def full_catalog_topk(
         return filter_excluded(v, ids, exclude, k)
 
     if mesh is None or mesh.shape.get("model", 1) == 1:
+        from carca_tpu.ops.retrieval_topk import QuantizedIndex
         e = catalog_emb if catalog_emb is not None else embed_catalog(
             params, cfg, attrs_table, ctx,
             global_ids=jnp.arange(attrs_table.shape[0], dtype=jnp.int32))
         return topk_given_queries(
             q, e, cfg, k, exclude=exclude if had_exclude else None,
-            use_kernel=use_kernel)
+            use_kernel=use_kernel,
+            # a quantized index is decoder-space by construction
+            in_decoder_space=isinstance(e, QuantizedIndex))
 
     has_items = "items" in params["embed"]
     items_table = params["embed"]["items"] if has_items else attrs_table[:, :1]

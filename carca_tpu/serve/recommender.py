@@ -101,6 +101,16 @@ class Recommender:
         embeds and streams only those rows (20× less catalog traffic at
         the 10M preset's sparsity); everything else — reranking, explicit
         candidate scoring — still covers the full id space.
+    quantize:
+        ``True | False | "auto"`` — store the stage-1 index as per-row
+        symmetric int8 (``ops/retrieval_topk.quantize_index``): ¼ the HBM
+        catalog scan per request, which bounds stage-1 latency at large
+        indexes. Stage-1 scores become approximate (quantization step
+        ≤ max|row|/127 per coordinate); with the cross-attention reranker
+        the shortlist is re-scored exactly, so end-to-end results only
+        change when a true candidate falls outside the over-provisioned
+        shortlist. "auto" quantizes indexes of ≥ 1M rows, where the scan
+        actually dominates.
     """
 
     def __init__(
@@ -114,6 +124,7 @@ class Recommender:
         batch_buckets: Sequence[int] = (1, 8, 64, 256),
         default_ctx: Optional[np.ndarray] = None,
         index_ids: Optional[np.ndarray] = None,
+        quantize=False,
     ):
         self.cfg = cfg
         self.exclude_history = exclude_history
@@ -139,16 +150,26 @@ class Recommender:
         # query-independent at serving: candidates take the request ctx in
         # the reranker; stage 1 uses the neutral ctx, standard two-tower
         from carca_tpu.parallel.retrieval import catalog_in_decoder_space
+        if quantize not in (True, False, "auto"):
+            raise ValueError(f"quantize must be True/False/'auto', got {quantize!r}")
+        do_quant = quantize is True or (quantize == "auto"
+                                        and index_size >= 1_000_000)
+
+        def build(p, a, ri):
+            rows = a if ri is None else a[ri]
+            gids = None if ri is None else ri
+            e = catalog_in_decoder_space(
+                embed_catalog(p, cfg, rows, global_ids=gids), cfg)
+            if do_quant:
+                from carca_tpu.ops.retrieval_topk import quantize_index
+                return quantize_index(e)
+            return e
+
         if self.row_ids is None:
-            self.catalog_emb = jax.jit(
-                lambda p, a: catalog_in_decoder_space(
-                    embed_catalog(p, cfg, a), cfg)
-            )(params, self.attrs)
+            self.catalog_emb = jax.jit(lambda p, a: build(p, a, None))(
+                params, self.attrs)
         else:
-            self.catalog_emb = jax.jit(
-                lambda p, a, ri: catalog_in_decoder_space(
-                    embed_catalog(p, cfg, a[ri], global_ids=ri), cfg)
-            )(params, self.attrs, self.row_ids)
+            self.catalog_emb = jax.jit(build)(params, self.attrs, self.row_ids)
         self._rerank = cfg.decoder == "ca"
         # per-instance executable caches (a class-level lru_cache would pin
         # retired Recommenders — params + HBM catalog — alive forever)
@@ -215,9 +236,11 @@ class Recommender:
         b = len(histories)
         if self._rerank and k > self.shortlist:
             raise ValueError(f"k={k} exceeds shortlist={self.shortlist}")
-        if k > self.catalog_emb.shape[0]:
+        index_rows = getattr(self.catalog_emb, "rows",
+                             None) or self.catalog_emb.shape[0]
+        if k > index_rows:
             raise ValueError(
-                f"k={k} exceeds the stage-1 index ({self.catalog_emb.shape[0]})")
+                f"k={k} exceeds the stage-1 index ({index_rows})")
         bb = self._bucket(b)
         p_x, p_c = pad_histories(histories, self.cfg.seq_len, ctxs,
                                  self.cfg.n_ctx)

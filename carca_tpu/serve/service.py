@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "catalog event (production posture, far less "
                         "catalog streaming at high sparsity); full = the "
                         "whole id space")
+    p.add_argument("--quantize_index", type=str, default="auto",
+                   choices=("true", "false", "auto"),
+                   help="int8 stage-1 index (1/4 the catalog scan per "
+                        "request; rerank re-scores exactly). auto = "
+                        "quantize indexes of >=1M rows")
     p.add_argument("--max_k", type=int, default=100,
                    help="cap on per-request k (each distinct k compiles one "
                         "executable; the cap bounds that)")
@@ -126,7 +131,9 @@ def main(argv: Optional[list] = None) -> None:
         args.run_dir, cat.attrs, which=args.which,
         shortlist=args.shortlist,
         exclude_history=not args.no_exclude_history,
-        index_ids=np.unique(host.items) if args.index == "seen" else None)
+        index_ids=np.unique(host.items) if args.index == "seen" else None,
+        quantize={"true": True, "false": False,
+                  "auto": "auto"}[args.quantize_index])
     if args.warmup or args.bench:
         rec.warmup(k=args.k)
     if args.bench:

@@ -250,3 +250,87 @@ def test_seen_only_index_excludes_unseen_items():
                                 use_kernel=False)
     got = set(np.asarray(ids).ravel().tolist())
     assert got <= set(seen.tolist())  # only seen items ever returned
+
+
+def test_quantized_index_matches_float_ranking(setup):
+    """int8 stage-1 index: kernel and XLA paths agree with each other and
+    with the dequantized-float oracle; quantization error is within the
+    per-row step bound so well-separated ranks are preserved."""
+    from carca_tpu.ops.retrieval_topk import (dequantize_index,
+                                              quantize_index)
+    from carca_tpu.parallel.retrieval import (catalog_in_decoder_space,
+                                              queries, topk_given_queries)
+
+    mc, params, profile, attrs = setup
+    k = 10
+    q = queries(params, mc, profile, attrs)
+    e = catalog_in_decoder_space(embed_catalog(params, mc, attrs), mc)
+    qi = quantize_index(e)
+
+    # reconstruction error bounded by half a quantization step per element
+    err = np.abs(np.asarray(dequantize_index(qi) - e))
+    step = np.asarray(qi.scales)[0][:, None]
+    assert (err <= 0.5 * step + 1e-7).all()
+    assert np.asarray(qi.qvals)[0].max() == 0  # pad row stays zero
+
+    # XLA path scores the exact dequantized floats — brute-force parity
+    vx, ix = topk_given_queries(q, qi, mc, k, in_decoder_space=True,
+                                use_kernel=False)
+    s = np.array(np.asarray(jnp.einsum("bd,rd->br", q, dequantize_index(qi))))
+    s[:, 0] = -np.inf
+    for b in range(s.shape[0]):
+        order = np.argsort(-s[b], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(ix[b]), order)
+        np.testing.assert_allclose(np.asarray(vx[b]), s[b][order], rtol=1e-5)
+
+    # kernel path casts queries to bf16 (documented precision choice):
+    # every returned id must score within bf16 rounding of its exact
+    # dequantized dot, and must reach the exact top-k up to that rounding
+    vq, iq = topk_given_queries(q, qi, mc, k, in_decoder_space=True,
+                                use_kernel=True)
+    tol = 0.01 * np.abs(s[np.isfinite(s)]).max() + 1e-4
+    for b in range(s.shape[0]):
+        np.testing.assert_allclose(np.asarray(vq[b]),
+                                   s[b][np.asarray(iq[b])], atol=tol)
+        kth = np.sort(s[b])[::-1][k - 1]
+        assert (s[b][np.asarray(iq[b])] >= kth - tol).all()
+
+    # vs the float index: scores within the dot-product quantization bound
+    vf, _ = topk_given_queries(q, e, mc, k, in_decoder_space=True,
+                               use_kernel=False)
+    bound = (0.5 * np.abs(np.asarray(q)).sum(axis=1, keepdims=True)
+             * float(np.asarray(qi.scales).max()) + tol)
+    assert (np.abs(np.asarray(vq) - np.asarray(vf)) <= bound).all()
+
+    with pytest.raises(ValueError, match="decoder-space"):
+        topk_given_queries(q, qi, mc, k, in_decoder_space=False)
+
+
+def test_quantized_recommender_rerank_matches_float():
+    """With the CA reranker, an int8 stage-1 shortlist re-scored exactly
+    yields the same recommendations as the float index whenever the
+    shortlist safely covers the candidates (it does at this scale)."""
+    from carca_tpu.serve.recommender import Recommender
+
+    cat = synthetic_catalog(n_users=40, n_real_items=111, seed=11)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=10,
+                     n_blocks=1, n_heads=2, dropout=0.0, embedding="all",
+                     decoder="ca")
+    params = carca_init(jax.random.PRNGKey(2), mc)
+    kw = dict(shortlist=64, batch_buckets=(4,))
+    rec_f = Recommender(params, mc, np.asarray(cat.attrs), **kw)
+    rec_q = Recommender(params, mc, np.asarray(cat.attrs), quantize=True,
+                        **kw)
+    from carca_tpu.ops.retrieval_topk import QuantizedIndex
+    assert isinstance(rec_q.catalog_emb, QuantizedIndex)
+    assert rec_q.catalog_emb.qvals.dtype == jnp.int8
+
+    hists = [[3, 9, 4], [17, 2], [1], [30, 8, 21, 5]]
+    ids_f, v_f = rec_f.recommend(hists, k=5)
+    ids_q, v_q = rec_q.recommend(hists, k=5)
+    np.testing.assert_array_equal(ids_f, ids_q)
+    np.testing.assert_allclose(v_f, v_q, rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="quantize"):
+        Recommender(params, mc, np.asarray(cat.attrs), quantize="yes", **kw)
