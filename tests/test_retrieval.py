@@ -264,6 +264,10 @@ def test_quantized_index_matches_float_ranking(setup):
     mc, params, profile, attrs = setup
     k = 10
     q = queries(params, mc, profile, attrs)
+    # regression: an all-zero query row (batch padding embeds to zero)
+    # once wiped whole rows in the packed extraction — a float-domain id
+    # payload landed in the denormal range and flush-to-zero erased it
+    q = q.at[1].set(0.0)
     e = catalog_in_decoder_space(embed_catalog(params, mc, attrs), mc)
     qi = quantize_index(e)
 
