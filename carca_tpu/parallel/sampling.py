@@ -56,44 +56,65 @@ def retries_for(reject_width: int, n_items: int,
 def overdraw_for(n_slots: int, n_items: int, reject_width: int) -> int | None:
     """Candidate count for the WOR-by-dedupe sampler, or None if infeasible.
 
-    Drawing O ids iid-uniform from the allowed set and keeping the first
-    ``n_slots`` *distinct* in draw order is exactly uniform sampling
-    without replacement (the distinct values of an iid sequence form a
+    Drawing O ids iid-uniform over the *whole* id range, discarding those
+    that hit the reject window, and keeping the first ``n_slots`` distinct
+    survivors in draw order is exactly uniform sampling without
+    replacement over the allowed set (the accepted subsequence is iid
+    uniform over it, and the distinct values of an iid sequence form a
     uniform random permutation prefix). The margin ``m = O − n_slots``
-    must exceed the expected duplicate count D ≈ O²/(2A) (A = allowed-set
-    size) by a large deviation; m ≥ D + 10·√(D + 0.15) + 4 keeps the
-    Poisson tail of a short row ≲ 1e−12 per row (the failure mode is a
-    duplicate slipping into the tail slots — the same class of fallback
-    the retry sampler already documents; shapes stay static).
+    must absorb both expected window hits (O·W/(n−1)) and expected
+    duplicates (O²/(2A), A = allowed-set size) with a large deviation;
+    m ≥ D + 10·√(D + 0.15) + 4 keeps the Poisson tail of a short row
+    ≲ 1e−12 per row (the failure mode is a duplicate or window item
+    slipping into the tail slots — the same class of fallback the old
+    retry sampler documented; shapes stay static).
 
-    Returns None when no O ≤ 4·n_slots + 64 satisfies the margin (slots
-    close to the catalog size — coupon-collector regime), where the dense
-    top-k path is the right tool instead.
+    Returns None when no O ≤ 4·n_slots + 2·reject_width + 64 satisfies
+    the margin (slots close to the catalog size — coupon-collector
+    regime), where the dense top-k path is the right tool instead.
     """
     a = n_items - 1 - reject_width  # pessimistic allowed-set size
     if a <= n_slots:
         return None
-    cap = 4 * n_slots + 64
+    p_win = reject_width / max(n_items - 1, 1)
+    cap = 4 * n_slots + 2 * reject_width + 64
     o = n_slots + 8
     while o <= cap:
-        d = o * o / (2.0 * a)
+        d = o * o / (2.0 * a) + o * p_win
         if o - n_slots >= d + 10.0 * math.sqrt(d + 0.15) + 4.0:
             return o
         o += 8
     return None
 
 
-def _first_distinct(draws: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+def _first_distinct_excluding(draws: jnp.ndarray, window: jnp.ndarray,
+                              n_slots: int) -> jnp.ndarray:
     """[B, O] iid draws → the first ``n_slots`` distinct values in draw
-    order (two stable [B, O] sorts; O(B·O log O) ≪ the [B, n_items] keyed
-    sort it replaces)."""
+    order that do NOT appear in ``window`` [B, W].
+
+    The window is merged INTO the dedupe sort: window entries are
+    concatenated ahead of the draws, so in the stable value-sort each
+    window id heads its equal-value run and every draw that collides with
+    it is marked a duplicate by the same prev-equal rule that removes
+    repeated draws. This replaces the old per-draw retry machinery — a
+    [B, O, R, W] all-pairs compare (226M ops/step at the men shape) —
+    with two stable [B, W+O] sorts. Ranking prefers good draws (by draw
+    order), then duplicate draws, then window entries, so the ≲1e−12
+    short-row fallback degrades to a repeated negative before it ever
+    emits a false (window) negative."""
     b, o = draws.shape
-    pos = jnp.broadcast_to(jnp.arange(o, dtype=jnp.int32), draws.shape)
-    sv, sp = jax.lax.sort((draws, pos), num_keys=1)  # stable: ties by pos
-    dup = jnp.concatenate(
+    w = window.shape[1]
+    vals = jnp.concatenate([window.astype(draws.dtype), draws], axis=1)
+    tag = jnp.concatenate(
+        [jnp.zeros((w,), jnp.int32), jnp.arange(1, o + 1, dtype=jnp.int32)])
+    tags = jnp.broadcast_to(tag, (b, w + o))
+    sv, st = jax.lax.sort((vals, tags), num_keys=1)  # stable: window first
+    prev_eq = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
-    # non-duplicates first (in draw order), duplicates after
-    rank = sp + dup.astype(jnp.int32) * (2 * o)
+    big = jnp.int32(2 * (w + o))
+    rank = jnp.where(st == 0, 3 * big,               # window entries last
+                     jnp.where(prev_eq, big + st,    # duplicate draws next
+                               st))                  # good draws, draw order
     _, out = jax.lax.sort((rank, sv), num_keys=1)
     return out[:, :n_slots]
 
@@ -116,13 +137,12 @@ def device_sample_negatives(
     (``src/data.py:82``), i.e. uniform over ``{1, …, n_items-1}`` —
     exactly ``jax.random.randint(…, 1, n_items)``.
 
-    Mechanism: overdraw O rejection-sampled ids per row, keep the first
-    ``n_slots`` distinct in draw order — exact WOR at any catalog size
-    (see ``overdraw_for``; measured ~3× cheaper than the [B, n_items]
-    Gumbel-top-k it replaced at the flagship shape, and it extends the
-    distinct-negatives guarantee to catalogs beyond the old 32768-id
-    cutoff). Falls back to dense top-k of iid uniform keys when slots
-    approach the catalog size.
+    Mechanism: overdraw O uniform ids per row and keep the first
+    ``n_slots`` distinct non-window survivors in draw order — exact WOR
+    at any catalog size, with the window rejection folded into the same
+    dedupe sort (``_first_distinct_excluding``; no retry draws, no
+    [B, O, R, W] compare). Falls back to dense top-k of iid uniform keys
+    when slots approach the catalog size.
 
     With ``events`` (the CSR event-item array) draws are **popularity-
     proportional** instead: a uniform random event's item id IS a draw
@@ -131,12 +151,17 @@ def device_sample_negatives(
     this exists because uniform negatives over an extreme-sparsity
     catalog never teach the model about the items it actually serves
     (docs/DESIGN.md #11). Popularity draws keep within-row duplicates
-    (dedupe would distort the distribution toward the tail).
+    (dedupe would distort the distribution toward the tail) and so keep
+    the retry-rejection machinery.
     """
     b = profile.shape[0]
     overdraw = (overdraw_for(n_slots, n_items, profile.shape[1])
                 if events is None else None)
-    if events is None and overdraw is None and n_slots < n_items <= 32768:
+    if overdraw is not None:
+        draws = jax.random.randint(
+            rng, (b, overdraw), 1, n_items, dtype=profile.dtype)
+        return _first_distinct_excluding(draws, profile, n_slots)
+    if events is None and n_slots < n_items <= 32768:
         # coupon-collector regime (slots ≈ catalog): exact WOR via top-k
         # of iid uniform keys over the whole id space
         keys = jax.random.uniform(rng, (b, n_items))
@@ -144,14 +169,13 @@ def device_sample_negatives(
         keys = keys.at[jnp.arange(b)[:, None], profile].set(-jnp.inf)
         _, ids = jax.lax.top_k(keys, n_slots)
         return ids.astype(profile.dtype)
-    width = overdraw or n_slots
     if events is not None:
         eidx = jax.random.randint(
-            rng, (b, width, retries), 0, events.shape[0], jnp.int32)
+            rng, (b, n_slots, retries), 0, events.shape[0], jnp.int32)
         draws = events[eidx].astype(profile.dtype)
     else:
         draws = jax.random.randint(
-            rng, (b, width, retries), 1, n_items, dtype=profile.dtype)
+            rng, (b, n_slots, retries), 1, n_items, dtype=profile.dtype)
     # collision of each draw against the window: [B, S, R] via all-pairs
     # compare (vectorized compare beats a [B, n_items] scatter/gather bitmap
     # on TPU — measured 0.6 vs 1.9 ms/step at B=256, S=50, R=8, L=51)
@@ -160,7 +184,4 @@ def device_sample_negatives(
     first_ok = jnp.argmax(~hit, axis=-1)  # 0 if none ok → but then use last
     any_ok = jnp.any(~hit, axis=-1)
     idx = jnp.where(any_ok, first_ok, retries - 1)
-    picked = jnp.take_along_axis(draws, idx[..., None], axis=-1)[..., 0]
-    if overdraw is None:
-        return picked
-    return _first_distinct(picked, n_slots)
+    return jnp.take_along_axis(draws, idx[..., None], axis=-1)[..., 0]

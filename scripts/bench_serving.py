@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--decoder", default="ca", choices=("ca", "dot", "wdot"))
+    ap.add_argument("--quantize", default="false",
+                    choices=("true", "false", "auto"),
+                    help="int8 stage-1 index (Recommender quantize flag)")
     args = ap.parse_args()
 
     from carca_tpu.config import ModelConfig
@@ -47,14 +50,15 @@ def main() -> None:
     params = carca_init(jax.random.PRNGKey(0), mc)
 
     t0 = time.perf_counter()
+    quant = {"true": True, "false": False, "auto": "auto"}[args.quantize]
     rec = Recommender(params, mc, cat.attrs, shortlist=args.shortlist,
-                      batch_buckets=(1, 8, 64, 256))
+                      batch_buckets=(1, 8, 64, 256), quantize=quant)
     jax.block_until_ready(rec.catalog_emb)
     load_s = time.perf_counter() - t0
 
     rng = np.random.default_rng(0)
     print(json.dumps({"catalog_items": mc.n_items, "decoder": args.decoder,
-                      "shortlist": args.shortlist,
+                      "shortlist": args.shortlist, "quantize": args.quantize,
                       "catalog_embed_s": round(load_s, 2),
                       "device": jax.devices()[0].platform}))
     for bb in rec.batch_buckets:

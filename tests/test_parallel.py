@@ -334,3 +334,22 @@ def test_device_sample_negatives_without_replacement():
     sigma = np.sqrt(exp)  # ≈ Poisson
     assert (np.abs(counts[1:] - exp) < 5 * sigma).all(), (
         counts[1:].min(), exp, counts[1:].max())
+
+
+def test_device_sample_negatives_long_padded_window():
+    """Men-shaped reject sets (wide, zero-padded histories): the merged
+    window-into-dedupe sort must exclude every window id, never emit the
+    pad id, and still return distinct rows."""
+    from carca_tpu.parallel.sampling import overdraw_for
+
+    assert overdraw_for(200, 2001, 272) is not None
+    rng = np.random.default_rng(4)
+    prof = jnp.asarray(np.where(rng.random((32, 272)) < 0.2, 0,
+                                rng.integers(1, 2001, (32, 272))), jnp.int32)
+    out = np.asarray(device_sample_negatives(
+        jax.random.PRNGKey(9), prof, 2001, 200, 14))
+    for b in range(32):
+        row = set(out[b].tolist())
+        assert len(row) == 200
+        assert 0 not in row
+        assert not (row & set(np.asarray(prof[b]).tolist()))
