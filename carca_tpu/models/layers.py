@@ -55,7 +55,13 @@ def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, train: bool) 
     if rng is None:
         raise ValueError("dropout requires an rng key when train=True and rate>0")
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    # draw the mask FLAT and reshape: the hardware rng-bit-generator emits
+    # shaped outputs in a non-row-major layout, and XLA inserted a physical
+    # copy at every dropout site to repair it (u32[2B,H,L,L] copies alone
+    # were ~4% of the flagship step; all sites together ~10% — measured
+    # +11% train throughput from this one-liner). A flat draw is emitted
+    # in the natural layout and the reshape is free.
+    mask = jax.random.bernoulli(rng, keep, (x.size,)).reshape(x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
