@@ -327,6 +327,95 @@ def full_catalog_topk(
     return fv, fi
 
 
+def topk_given_queries_sharded(
+    q: jnp.ndarray,
+    e,
+    cfg: ModelConfig,
+    k: int,
+    mesh: Mesh,
+    *,
+    exclude: Optional[jnp.ndarray] = None,
+    row_ids: Optional[jnp.ndarray] = None,
+    use_kernel: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`topk_given_queries` over a PRECOMPUTED index row-sharded on the
+    ``model`` mesh axis — the serving counterpart of ``full_catalog_topk``'s
+    sharded branch (which re-embeds the catalog per call; a serving index
+    is embedded once at load time and must stay resident, sharded, in each
+    chip's HBM — a 100M-row d=64 int8 index is 6.4 GB, beyond one chip).
+
+    ``e``: [R_pad, d] embeddings or a ``QuantizedIndex``, both already in
+    decoder space, with R_pad a multiple of the ``model`` axis size (pad
+    rows carry id ≥ cfg.n_items or map to row_ids' pad entries). Queries
+    are replicated to every model shard (serving batches are small; the
+    index is what's big); each shard streams only its rows and only
+    [shards, k+E] candidates cross ICI. ``row_ids`` maps compacted index
+    rows to global item ids (row 0 = pad, as in ``topk_given_queries``);
+    its length is the TRUE index row count — sharding-pad rows beyond it
+    are masked by global row index, like the kernel's own pad rows.
+    """
+    from carca_tpu.ops.retrieval_topk import QuantizedIndex
+
+    quantized = isinstance(e, QuantizedIndex)
+    rows = e.rows if quantized else e.shape[0]
+    n_shards = mesh.shape["model"]
+    if rows % n_shards:
+        raise ValueError(
+            f"index rows {rows} not divisible by the model axis {n_shards} "
+            f"(pad with mesh.pad_table_rows before sharding)")
+    # rows beyond the true index (sharding pad) are masked by global row
+    # index, exactly like the single-device kernel's internal pad rows
+    n_local = (row_ids.shape[0] if row_ids is not None else cfg.n_items)
+    had_exclude = exclude is not None
+    kk = min(k + (exclude.shape[1] if had_exclude else 0), rows)
+    local_rows = rows // n_shards
+    # a shard holds at most local_rows global winners, so clamping its
+    # contribution is exact (the merged pool still covers every candidate)
+    kk_local = min(kk, local_rows)
+
+    def local(e_shard, scales_shard, q):
+        lo = jax.lax.axis_index("model") * local_rows
+        eloc = (QuantizedIndex(e_shard, scales_shard) if quantized
+                else e_shard)
+        if use_kernel:
+            from carca_tpu.ops.retrieval_topk import catalog_topk
+            v, rid = catalog_topk(q, eloc, kk_local, n_items=n_local,
+                                  id_offset=lo)
+        else:
+            from carca_tpu.ops.retrieval_topk import dequantize_index
+            ef = dequantize_index(eloc) if quantized else eloc
+            gids = lo + jnp.arange(local_rows, dtype=jnp.int32)
+            s = _masked_scores(
+                q, ef, jnp.where(gids < n_local, gids, 0), None)
+            v, i = jax.lax.top_k(s, kk_local)
+            rid = jnp.take(gids, i)
+        av = jax.lax.all_gather(v, "model")  # [shards, B, kk]
+        ai = jax.lax.all_gather(rid, "model")
+        b = q.shape[0]
+        av = jnp.transpose(av, (1, 0, 2)).reshape(b, -1)
+        ai = jnp.transpose(ai, (1, 0, 2)).reshape(b, -1)
+        fv, fi = jax.lax.top_k(av, kk)
+        return fv, jnp.take_along_axis(ai, fi, axis=1)
+
+    eq = e.qvals if quantized else e
+    scales = (e.scales if quantized
+              else jnp.zeros((1, rows), jnp.float32))  # unused placeholder
+    fv, fi = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("model", None), P(None, "model"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated after the all_gather+top_k merge
+    )(eq, scales, q)
+    if row_ids is not None:
+        fi = jnp.where(fv > NEG_INF, row_ids[fi], 0)
+    else:
+        fi = jnp.where(fv > NEG_INF, fi, 0)
+    if had_exclude:
+        return filter_excluded(fv, fi, exclude, k)
+    return fv, fi
+
+
 def retrieval_hr_ndcg(
     topk_ids: jnp.ndarray, positives: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

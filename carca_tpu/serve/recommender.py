@@ -80,6 +80,31 @@ def _map_scores(raw: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return jax.nn.sigmoid(raw)
 
 
+def _shard_index(emb, mesh):
+    """Row-shard a stage-1 index (array or QuantizedIndex) over the mesh's
+    ``model`` axis, padding rows to the shard multiple (pad rows are
+    masked by global row index in the sharded top-k)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from carca_tpu.ops.retrieval_topk import QuantizedIndex
+
+    n = mesh.shape["model"]
+
+    def pad_rows(x):
+        pad = (-x.shape[0]) % n
+        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    if isinstance(emb, QuantizedIndex):
+        q = jax.device_put(pad_rows(emb.qvals),
+                           NamedSharding(mesh, P("model", None)))
+        pad = q.shape[0] - emb.scales.shape[1]
+        s = jnp.pad(emb.scales, ((0, 0), (0, pad))) if pad else emb.scales
+        return QuantizedIndex(
+            q, jax.device_put(s, NamedSharding(mesh, P(None, "model"))))
+    return jax.device_put(pad_rows(emb),
+                          NamedSharding(mesh, P("model", None)))
+
+
 class Recommender:
     """Compiled top-k recommendation over a fixed catalog.
 
@@ -111,6 +136,13 @@ class Recommender:
         change when a true candidate falls outside the over-provisioned
         shortlist. "auto" quantizes indexes of ≥ 1M rows, where the scan
         actually dominates.
+    mesh:
+        Optional ``Mesh`` with a ``model`` axis: the stage-1 index is
+        row-sharded across it (each chip holds and streams 1/N of the
+        rows; only [shards, k+E] candidates cross ICI per request —
+        ``parallel.retrieval.topk_given_queries_sharded``). This is how
+        an index beyond one chip's HBM serves (e.g. 100M rows); params
+        and the attrs catalog stay replicated.
     """
 
     def __init__(
@@ -125,6 +157,7 @@ class Recommender:
         default_ctx: Optional[np.ndarray] = None,
         index_ids: Optional[np.ndarray] = None,
         quantize=False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.exclude_history = exclude_history
@@ -170,6 +203,9 @@ class Recommender:
                 params, self.attrs)
         else:
             self.catalog_emb = jax.jit(build)(params, self.attrs, self.row_ids)
+        self.mesh = mesh
+        if mesh is not None:
+            self.catalog_emb = _shard_index(self.catalog_emb, mesh)
         self._rerank = cfg.decoder == "ca"
         # per-instance executable caches (a class-level lru_cache would pin
         # retired Recommenders — params + HBM catalog — alive forever)
@@ -182,6 +218,7 @@ class Recommender:
         cfg, shortlist, rerank = self.cfg, self.shortlist, self._rerank
         exclude = self.exclude_history
         row_ids = self.row_ids
+        mesh = self.mesh
 
         @jax.jit
         def fn(params, attrs, catalog_emb, p_x, p_c, req_ctx):
@@ -189,10 +226,17 @@ class Recommender:
                 params, cfg, (p_x, None, p_c), train=False, attrs_table=attrs)
             q = query_from_encoded(p_e, cfg)
             n1 = shortlist if rerank else k
-            sv, sids = topk_given_queries(
-                q, catalog_emb, cfg, n1,
-                exclude=p_x if exclude else None, in_decoder_space=True,
-                row_ids=row_ids)
+            if mesh is not None:
+                from carca_tpu.parallel.retrieval import \
+                    topk_given_queries_sharded
+                sv, sids = topk_given_queries_sharded(
+                    q, catalog_emb, cfg, n1, mesh,
+                    exclude=p_x if exclude else None, row_ids=row_ids)
+            else:
+                sv, sids = topk_given_queries(
+                    q, catalog_emb, cfg, n1,
+                    exclude=p_x if exclude else None, in_decoder_space=True,
+                    row_ids=row_ids)
             if not rerank:
                 # keep pad/exhausted slots at -inf (sigmoid would fold them
                 # to 0.0, indistinguishable from a real low score)

@@ -338,3 +338,32 @@ def test_quantized_recommender_rerank_matches_float():
 
     with pytest.raises(ValueError, match="quantize"):
         Recommender(params, mc, np.asarray(cat.attrs), quantize="yes", **kw)
+
+
+def test_sharded_serving_index_matches_single_device():
+    """A Recommender whose stage-1 index is row-sharded over the model
+    axis returns the same recommendations as the single-device one —
+    float and int8, full and seen-only indexes."""
+    from carca_tpu.serve.recommender import Recommender
+
+    cat = synthetic_catalog(n_users=48, n_real_items=333, seed=3)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=10,
+                     n_blocks=1, n_heads=2, dropout=0.0, embedding="all",
+                     decoder="ca")
+    params = carca_init(jax.random.PRNGKey(5), mc)
+    mesh = make_mesh((2, 4), ("data", "model"))
+    hists = [[3, 9, 4], [17, 2], [1], [30, 8, 21, 5]]
+    seen = np.unique(np.asarray(cat.items))
+
+    for quantize in (False, True):
+        for index_ids in (None, seen):
+            kw = dict(shortlist=64, batch_buckets=(4,), quantize=quantize,
+                      index_ids=index_ids)
+            base = Recommender(params, mc, np.asarray(cat.attrs), **kw)
+            shrd = Recommender(params, mc, np.asarray(cat.attrs),
+                               mesh=mesh, **kw)
+            ids0, v0 = base.recommend(hists, k=5)
+            ids1, v1 = shrd.recommend(hists, k=5)
+            np.testing.assert_array_equal(ids0, ids1)
+            np.testing.assert_allclose(v0, v1, rtol=2e-4, atol=2e-4)
