@@ -16,4 +16,9 @@ two paths bit-for-bit-ish (fp32 tolerance) on CPU via interpret mode.
 """
 
 from carca_tpu.ops.flash_attention import fused_attention  # noqa: F401
-from carca_tpu.ops.retrieval_topk import catalog_topk  # noqa: F401
+from carca_tpu.ops.retrieval_topk import (  # noqa: F401
+    QuantizedIndex,
+    catalog_topk,
+    dequantize_index,
+    quantize_index,
+)

@@ -36,4 +36,6 @@ from carca_tpu.parallel.retrieval import (  # noqa: F401
     embed_catalog,
     full_catalog_topk,
     retrieval_hr_ndcg,
+    topk_given_queries,
+    topk_given_queries_sharded,
 )

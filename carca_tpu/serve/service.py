@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 stage-1 index (1/4 the catalog scan per "
                         "request; rerank re-scores exactly). auto = "
                         "quantize indexes of >=1M rows")
+    p.add_argument("--index_shards", type=int, default=1,
+                   help="row-shard the stage-1 index over this many chips "
+                        "(a 'model' mesh axis) — for indexes beyond one "
+                        "chip's HBM")
     p.add_argument("--max_k", type=int, default=100,
                    help="cap on per-request k (each distinct k compiles one "
                         "executable; the cap bounds that)")
@@ -127,13 +131,21 @@ def main(argv: Optional[list] = None) -> None:
     cfg = config_from_run_dir(args.run_dir)
     cat = load_catalog_for_run(args, cfg)
     host = _HostCSR(cat)
+    mesh = None
+    if args.index_shards > 1:
+        import jax
+
+        from carca_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh((args.index_shards,), ("model",),
+                         devices=jax.devices()[: args.index_shards])
     rec = load_recommender(
         args.run_dir, cat.attrs, which=args.which,
         shortlist=args.shortlist,
         exclude_history=not args.no_exclude_history,
         index_ids=np.unique(host.items) if args.index == "seen" else None,
         quantize={"true": True, "false": False,
-                  "auto": "auto"}[args.quantize_index])
+                  "auto": "auto"}[args.quantize_index],
+        mesh=mesh)
     if args.warmup or args.bench:
         rec.warmup(k=args.k)
     if args.bench:
