@@ -375,15 +375,16 @@ def topk_given_queries_sharded(
 
     def local(e_shard, scales_shard, q):
         lo = jax.lax.axis_index("model") * local_rows
-        eloc = (QuantizedIndex(e_shard, scales_shard) if quantized
-                else e_shard)
+        eloc = (QuantizedIndex(e_shard, scales_shard)
+                if scales_shard is not None else e_shard)
         if use_kernel:
             from carca_tpu.ops.retrieval_topk import catalog_topk
             v, rid = catalog_topk(q, eloc, kk_local, n_items=n_local,
                                   id_offset=lo)
         else:
             from carca_tpu.ops.retrieval_topk import dequantize_index
-            ef = dequantize_index(eloc) if quantized else eloc
+            ef = (dequantize_index(eloc) if scales_shard is not None
+                  else eloc)
             gids = lo + jnp.arange(local_rows, dtype=jnp.int32)
             s = _masked_scores(
                 q, ef, jnp.where(gids < n_local, gids, 0), None)
@@ -397,16 +398,22 @@ def topk_given_queries_sharded(
         fv, fi = jax.lax.top_k(av, kk)
         return fv, jnp.take_along_axis(ai, fi, axis=1)
 
-    eq = e.qvals if quantized else e
-    scales = (e.scales if quantized
-              else jnp.zeros((1, rows), jnp.float32))  # unused placeholder
-    fv, fi = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P("model", None), P(None, "model"), P()),
-        out_specs=(P(), P()),
-        check_vma=False,  # replicated after the all_gather+top_k merge
-    )(eq, scales, q)
+    if quantized:
+        fv, fi = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("model", None), P(None, "model"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # replicated after the all_gather+top_k merge
+        )(e.qvals, e.scales, q)
+    else:
+        fv, fi = jax.shard_map(
+            lambda es, qq: local(es, None, qq),
+            mesh=mesh,
+            in_specs=(P("model", None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(e, q)
     if row_ids is not None:
         fi = jnp.where(fv > NEG_INF, row_ids[fi], 0)
     else:
