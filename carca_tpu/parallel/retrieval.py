@@ -366,6 +366,9 @@ def topk_given_queries_sharded(
     # rows beyond the true index (sharding pad) are masked by global row
     # index, exactly like the single-device kernel's internal pad rows
     n_local = (row_ids.shape[0] if row_ids is not None else cfg.n_items)
+    if k > min(rows, n_local):
+        raise ValueError(
+            f"top-k k={k} exceeds the index size {min(rows, n_local)}")
     had_exclude = exclude is not None
     kk = min(k + (exclude.shape[1] if had_exclude else 0), rows)
     local_rows = rows // n_shards

@@ -111,10 +111,20 @@ def _first_distinct_excluding(draws: jnp.ndarray, window: jnp.ndarray,
     sv, st = jax.lax.sort((vals, tags), num_keys=1)  # stable: window first
     prev_eq = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
+    # whether each element's equal-value RUN is headed by a window entry
+    # (stability puts window ids at their run's head): propagate the run
+    # head's tag via a cumulative max of head positions
+    pos2 = jnp.broadcast_to(jnp.arange(w + o, dtype=jnp.int32), sv.shape)
+    head_pos = jax.lax.cummax(jnp.where(~prev_eq, pos2, -1), axis=1)
+    head_win = jnp.take_along_axis(st == 0, head_pos, axis=1)
     big = jnp.int32(2 * (w + o))
-    rank = jnp.where(st == 0, 3 * big,               # window entries last
-                     jnp.where(prev_eq, big + st,    # duplicate draws next
-                               st))                  # good draws, draw order
+    # rank order implements the documented tail preference: good draws (in
+    # draw order), then repeated draws, then window-colliding draws, then
+    # the window entries themselves — the ≲1e−12 short-row fallback emits
+    # a repeated negative before it ever emits a false (window) negative
+    rank = jnp.where(st == 0, 4 * big,
+                     jnp.where(head_win, 2 * big + st,
+                               jnp.where(prev_eq, big + st, st)))
     _, out = jax.lax.sort((rank, sv), num_keys=1)
     return out[:, :n_slots]
 
@@ -139,10 +149,15 @@ def device_sample_negatives(
 
     Mechanism: overdraw O uniform ids per row and keep the first
     ``n_slots`` distinct non-window survivors in draw order — exact WOR
-    at any catalog size, with the window rejection folded into the same
-    dedupe sort (``_first_distinct_excluding``; no retry draws, no
-    [B, O, R, W] compare). Falls back to dense top-k of iid uniform keys
-    when slots approach the catalog size.
+    at any catalog size where the overdraw is feasible, with the window
+    rejection folded into the same dedupe sort
+    (``_first_distinct_excluding``; no retry draws, no [B, O, R, W]
+    compare). When slots approach the catalog size (coupon-collector
+    regime, ``overdraw_for`` → None) catalogs ≤ 32768 ids fall back to a
+    dense top-k of iid uniform keys (still exact WOR); beyond that the
+    retry sampler runs and within-row repeats become possible — a
+    configuration no target config is near (it needs n_slots ≳ catalog/4
+    at >32k items).
 
     With ``events`` (the CSR event-item array) draws are **popularity-
     proportional** instead: a uniform random event's item id IS a draw

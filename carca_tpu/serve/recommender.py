@@ -80,29 +80,6 @@ def _map_scores(raw: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return jax.nn.sigmoid(raw)
 
 
-def _shard_index(emb, mesh):
-    """Row-shard a stage-1 index (array or QuantizedIndex) over the mesh's
-    ``model`` axis, padding rows to the shard multiple (pad rows are
-    masked by global row index in the sharded top-k)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from carca_tpu.ops.retrieval_topk import QuantizedIndex
-
-    n = mesh.shape["model"]
-
-    def pad_rows(x):
-        pad = (-x.shape[0]) % n
-        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
-
-    if isinstance(emb, QuantizedIndex):
-        q = jax.device_put(pad_rows(emb.qvals),
-                           NamedSharding(mesh, P("model", None)))
-        pad = q.shape[0] - emb.scales.shape[1]
-        s = jnp.pad(emb.scales, ((0, 0), (0, pad))) if pad else emb.scales
-        return QuantizedIndex(
-            q, jax.device_put(s, NamedSharding(mesh, P(None, "model"))))
-    return jax.device_put(pad_rows(emb),
-                          NamedSharding(mesh, P("model", None)))
 
 
 class Recommender:
@@ -183,14 +160,20 @@ class Recommender:
         # query-independent at serving: candidates take the request ctx in
         # the reranker; stage 1 uses the neutral ctx, standard two-tower
         from carca_tpu.parallel.retrieval import catalog_in_decoder_space
-        if quantize not in (True, False, "auto"):
+        # strict identity checks: `1 in (True, False, "auto")` is True
+        # because 1 == True, but `1 is True` is False and would silently
+        # disable quantization downstream
+        if not (quantize is True or quantize is False or quantize == "auto"):
             raise ValueError(f"quantize must be True/False/'auto', got {quantize!r}")
         do_quant = quantize is True or (quantize == "auto"
                                         and index_size >= 1_000_000)
+        # the k-validation bound: true index rows (never the sharding pad)
+        self._index_rows = (index_size + 1 if index_ids is not None
+                            else cfg.n_items)
 
         def build(p, a, ri):
             rows = a if ri is None else a[ri]
-            gids = None if ri is None else ri
+            gids = ri if ri is not None else None
             e = catalog_in_decoder_space(
                 embed_catalog(p, cfg, rows, global_ids=gids), cfg)
             if do_quant:
@@ -198,14 +181,40 @@ class Recommender:
                 return quantize_index(e)
             return e
 
-        if self.row_ids is None:
-            self.catalog_emb = jax.jit(lambda p, a: build(p, a, None))(
-                params, self.attrs)
-        else:
-            self.catalog_emb = jax.jit(build)(params, self.attrs, self.row_ids)
         self.mesh = mesh
+        out_shardings = None
+        ri_in = self.row_ids
         if mesh is not None:
-            self.catalog_emb = _shard_index(self.catalog_emb, mesh)
+            # build the index SHARDED: out_shardings row-shards the whole
+            # embed computation across the mesh, so the float intermediate
+            # never materializes on one chip (a 100M-row f32 index is
+            # ~25 GB — the very scale the mesh exists for). Pad the input
+            # row set to the shard multiple first; pad rows embed to zero
+            # (id 0 / ≥ n_items ⇒ masked) and sit beyond the true row
+            # count, which the sharded top-k masks by global row index.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from carca_tpu.ops.retrieval_topk import QuantizedIndex
+            n = mesh.shape["model"]
+            if ri_in is None and cfg.n_items % n:
+                ri_in = jnp.arange(cfg.n_items, dtype=jnp.int32)
+            if ri_in is not None:
+                pad = (-ri_in.shape[0]) % n
+                if pad:
+                    ri_in = jnp.concatenate(
+                        [ri_in, jnp.zeros((pad,), jnp.int32)])
+            rows_sh = NamedSharding(mesh, P("model", None))
+            out_shardings = (QuantizedIndex(
+                rows_sh, NamedSharding(mesh, P(None, "model")))
+                if do_quant else rows_sh)
+        if ri_in is None:
+            self.catalog_emb = jax.jit(
+                lambda p, a: build(p, a, None),
+                out_shardings=out_shardings)(params, self.attrs)
+        else:
+            self.catalog_emb = jax.jit(
+                build, out_shardings=out_shardings)(
+                    params, self.attrs, ri_in)
         self._rerank = cfg.decoder == "ca"
         # per-instance executable caches (a class-level lru_cache would pin
         # retired Recommenders — params + HBM catalog — alive forever)
@@ -280,11 +289,9 @@ class Recommender:
         b = len(histories)
         if self._rerank and k > self.shortlist:
             raise ValueError(f"k={k} exceeds shortlist={self.shortlist}")
-        index_rows = getattr(self.catalog_emb, "rows",
-                             None) or self.catalog_emb.shape[0]
-        if k > index_rows:
+        if k > self._index_rows:  # true rows, never the sharding pad
             raise ValueError(
-                f"k={k} exceeds the stage-1 index ({index_rows})")
+                f"k={k} exceeds the stage-1 index ({self._index_rows})")
         bb = self._bucket(b)
         p_x, p_c = pad_histories(histories, self.cfg.seq_len, ctxs,
                                  self.cfg.n_ctx)

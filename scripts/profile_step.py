@@ -57,6 +57,10 @@ def build(config: str, batch: int):
     inner = tc.inner_steps
     rows = [r for r in epoch_batches(users, tc.batch_size, rng, shuffle=True)
             if (r >= 0).all()]
+    if not rows:
+        raise SystemExit(
+            f"--batch {batch} exceeds the synthetic user count "
+            f"({len(users)}): no full batch to profile")
     chunk = jnp.asarray(np.stack([rows[i % len(rows)] for i in range(inner)]),
                         jnp.int32)
     step = make_scanned_device_train_step(mc, tx, inner, tc=tc)

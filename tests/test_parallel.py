@@ -353,3 +353,17 @@ def test_device_sample_negatives_long_padded_window():
         assert len(row) == 200
         assert 0 not in row
         assert not (row & set(np.asarray(prof[b]).tolist()))
+
+
+def test_sampler_tail_prefers_repeats_over_window_items():
+    """The short-row fallback ranking: when there aren't enough distinct
+    non-window draws, repeated draws fill slots BEFORE window items (a
+    repeated negative is harmless; a window item is a false negative)."""
+    from carca_tpu.parallel.sampling import _first_distinct_excluding
+
+    window = jnp.asarray([[5]], jnp.int32)
+    draws = jnp.asarray([[5, 5, 3, 3]], jnp.int32)
+    out = np.asarray(_first_distinct_excluding(draws, window, 3))[0]
+    assert out[0] == 3           # the one good draw, in draw order
+    assert out[1] == 3           # then the repeated draw
+    assert out[2] == 5           # window item only as the last resort
