@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack_tables", type=parse_pallas_flag, default="auto",
                    help="lane-pack sub-128-wide embedding tables: true | "
                         "false | auto (>=1M-row tables)")
+    p.add_argument("--compilation_cache", type=str, default="",
+                   help="persistent XLA compilation-cache directory: "
+                        "compiled executables are reused across processes "
+                        "(kills the multi-minute first-compile on restarts)")
     p.add_argument("--synthetic", type=parse_bool, default=False)
     p.add_argument("--synthetic_users", type=int, default=2000)
     p.add_argument("--synthetic_items", type=int, default=1000)
@@ -280,6 +284,9 @@ def load_catalog(args, dc=None):
 
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.compilation_cache:
+        from carca_tpu.utils.hostenv import enable_compilation_cache
+        enable_compilation_cache(args.compilation_cache)
     if args.mesh:
         # multi-host init must precede ANY JAX computation (including the
         # device-side synthetic catalog); no-op in a single process

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="row-shard the stage-1 index over this many chips "
                         "(a 'model' mesh axis) — for indexes beyond one "
                         "chip's HBM")
+    p.add_argument("--compilation_cache", type=str, default="",
+                   help="persistent XLA compilation-cache directory — a "
+                        "restarted server with warm cache skips the "
+                        "multi-minute bucket compiles")
     p.add_argument("--max_k", type=int, default=100,
                    help="cap on per-request k (each distinct k compiles one "
                         "executable; the cap bounds that)")
@@ -125,6 +129,9 @@ def run_bench(rec, cat, k: int, iters: int) -> None:
 
 def main(argv: Optional[list] = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.compilation_cache:
+        from carca_tpu.utils.hostenv import enable_compilation_cache
+        enable_compilation_cache(args.compilation_cache)
     from carca_tpu.serve.recommender import (config_from_run_dir,
                                              load_recommender)
 
