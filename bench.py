@@ -78,7 +78,8 @@ def main() -> None:
     tx = make_optimizer(tc)
     state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx,
                                sparse_items=at_scale)
-    attrs = jnp.asarray(cat.attrs)
+    from carca_tpu.train.loop import _attrs_dtype
+    attrs = jnp.asarray(cat.attrs, _attrs_dtype(mc))
 
     # production path: HBM-resident catalog, batches assembled on device
     # (per-dispatch host→device traffic is one [K, B] user-row matrix),

@@ -34,23 +34,33 @@ def build(config: str, batch: int):
     from carca_tpu.train.loop import make_scanned_device_train_step
     from carca_tpu.train.state import create_train_state, make_optimizer
 
+    at_scale = config == "10m"
     if config == "men":
         cat = synthetic_catalog(n_users=2048, n_real_items=2000, n_attrs=12,
                                 n_ctx=4, min_len=40, max_len=250, seed=0)
         seq_len = 200
+    elif at_scale:
+        from carca_tpu.data.synthetic import synthetic_catalog_device
+        cat = synthetic_catalog_device(n_users=100_000,
+                                       n_real_items=10_000_000, seed=0)
+        seq_len = 50
     else:
         cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
         seq_len = 50
     mc = ModelConfig(
         n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
         d=64, g=256, seq_len=seq_len, target_len=100, n_blocks=2, n_heads=2,
-        dropout=0.5, embedding="all", encoding="identity", decoder="ca",
+        dropout=0.5, embedding="all", encoding="identity",
+        decoder="dot" if at_scale else "ca",
+        compute_dtype="bfloat16" if at_scale else "float32",
         use_pallas="auto",
     )
     tc = TrainConfig(batch_size=batch, seed=0)
     tx = make_optimizer(tc)
-    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx)
-    attrs = jnp.asarray(cat.attrs)
+    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx,
+                               sparse_items=at_scale)
+    from carca_tpu.train.loop import _attrs_dtype
+    attrs = jnp.asarray(cat.attrs, _attrs_dtype(mc))
     dd = DeviceDataset(cat, mc.seq_len, mc.target_len, test=True)
     users = dd.users("train")
     rng = np.random.default_rng(0)
@@ -63,14 +73,15 @@ def build(config: str, batch: int):
             f"({len(users)}): no full batch to profile")
     chunk = jnp.asarray(np.stack([rows[i % len(rows)] for i in range(inner)]),
                         jnp.int32)
-    step = make_scanned_device_train_step(mc, tx, inner, tc=tc)
+    step = make_scanned_device_train_step(mc, tx, inner,
+                                          sparse_items=at_scale, tc=tc)
     return step, state, attrs, dd, chunk, inner, tc
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="flagship",
-                    choices=("flagship", "men"))
+                    choices=("flagship", "men", "10m"))
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--calls", type=int, default=4,
