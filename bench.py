@@ -106,8 +106,8 @@ def main() -> None:
     sync(losses)
 
     # median of N timed windows: single-window numbers on this host swing
-    # ~5% run-to-run (queue warmup, host jitter); the median is stable
-    n_windows = 3
+    # ~5-8% run-to-run (queue warmup, relay jitter); the median is stable
+    n_windows = 5
     n_calls = max(1, 100 // inner)
     rates = []
     for _ in range(n_windows):
