@@ -318,6 +318,7 @@ def evaluate_retrieval(
     k: Optional[int] = None,
     log: bool = True,
     seen_only: bool = True,
+    quantized: bool = False,
 ) -> Dict[str, float]:
     """Leave-one-out evaluation against the FULL catalog (BASELINE
     configs[4] protocol; no reference counterpart — its eval samples 100
@@ -334,9 +335,16 @@ def evaluate_retrieval(
     real stack handles cold-start items by content, not by ranking noise.
     Held-out positives are events, so the protocol stays well-defined.
     ``seen_only=False`` ranks the entire id space.
+
+    ``quantized`` scores against the int8 serving index
+    (``ops/retrieval_topk.quantize_index``) instead of the float
+    embeddings — use it to measure the int8 recall delta on a trained
+    model at full scale (the serving posture with ``quantize="auto"``).
     """
     from carca_tpu.data.device_pipeline import DeviceDataset, _profile_slots
-    from carca_tpu.parallel.retrieval import (embed_catalog, queries,
+    from carca_tpu.ops.retrieval_topk import quantize_index
+    from carca_tpu.parallel.retrieval import (catalog_in_decoder_space,
+                                              embed_catalog, queries,
                                               retrieval_hr_ndcg,
                                               topk_given_queries)
 
@@ -386,6 +394,10 @@ def evaluate_retrieval(
     else:
         emb = jax.jit(lambda p, a: embed_catalog(
             p, mc, a, out_dtype=emb_dtype))(params, attrs_table)
+    if quantized:
+        emb = jax.jit(lambda e: quantize_index(
+            catalog_in_decoder_space(e, mc)))(emb)
+        index_note += ", int8"
 
     @jax.jit
     def batch_metrics(params, attrs_table, emb, user_rows):
@@ -398,7 +410,8 @@ def evaluate_retrieval(
         q = queries(params, mc, (p_x, None, p_c), attrs_table)
         _, ids = topk_given_queries(
             q, emb, mc, k, exclude=p_x, row_ids=row_ids,
-            use_kernel=jax.default_backend() == "tpu")
+            use_kernel=jax.default_backend() == "tpu",
+            in_decoder_space=quantized)  # the int8 index pre-bakes it
         ids = jnp.where(alive[:, None], ids, -1)  # dead rows never match
         hr, ndcg = retrieval_hr_ndcg(ids, pos, k)
         return hr, ndcg, jnp.sum(alive.astype(jnp.int32))
