@@ -30,6 +30,72 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def build_setup(config: str, batch: int):
+    """Model + scanned device-pipeline step for one headline config —
+    shared by this benchmark and ``scripts/profile_step.py`` so the
+    profiler always profiles exactly the model being benchmarked.
+
+    Returns (step, state, attrs, dd, chunks, inner, tc); ``chunks`` are
+    four [inner, B] user-row matrices of full (unpadded) batches.
+    """
+    from carca_tpu.config import ModelConfig, TrainConfig
+    from carca_tpu.data.dataset import epoch_batches
+    from carca_tpu.data.device_pipeline import DeviceDataset
+    from carca_tpu.data.synthetic import synthetic_catalog
+    from carca_tpu.train.loop import (attrs_dtype,
+                                      make_scanned_device_train_step)
+    from carca_tpu.train.state import create_train_state, make_optimizer
+
+    if config == "men":
+        cat = synthetic_catalog(n_users=2048, n_real_items=2000, n_attrs=12,
+                                n_ctx=4, min_len=40, max_len=250, seed=0)
+        seq_len = 200
+    elif config == "10m":
+        from carca_tpu.data.synthetic import synthetic_catalog_device
+        cat = synthetic_catalog_device(n_users=100_000,
+                                       n_real_items=10_000_000, seed=0)
+        seq_len = 50
+    else:
+        cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
+        seq_len = 50
+    at_scale = config == "10m"
+    mc = ModelConfig(
+        n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+        d=64, g=256, seq_len=seq_len, target_len=100, n_blocks=2, n_heads=2,
+        dropout=0.5, embedding="all", encoding="identity",
+        decoder="dot" if at_scale else "ca",
+        compute_dtype="bfloat16" if at_scale else "float32",
+        use_pallas="auto",
+    )
+    tc = TrainConfig(batch_size=batch, seed=0)
+    tx = make_optimizer(tc)
+    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx,
+                               sparse_items=at_scale)
+    attrs = jnp.asarray(cat.attrs, attrs_dtype(mc))
+
+    # production path: HBM-resident catalog, batches assembled on device
+    # (per-dispatch host→device traffic is one [K, B] user-row matrix),
+    # inner_steps train steps fused into each dispatch via lax.scan
+    dd = DeviceDataset(cat, mc.seq_len, mc.target_len, test=True)
+    users = dd.users("train")
+    rng = np.random.default_rng(0)
+    inner = tc.inner_steps
+    # full batches only: the last partial batch carries -1 pad rows the
+    # assembler masks out, which would inflate the examples/sec numerator
+    rows = [r for r in epoch_batches(users, tc.batch_size, rng, shuffle=True)
+            if (r >= 0).all()]
+    if not rows:
+        raise SystemExit(
+            f"--batch {batch} exceeds the config's user count "
+            f"({len(users)}): no full batch to measure")
+    chunks = [jnp.asarray(np.stack([rows[(j * inner + i) % len(rows)]
+                                    for i in range(inner)]), jnp.int32)
+              for j in range(4)]
+    step = make_scanned_device_train_step(mc, tx, inner,
+                                          sparse_items=at_scale, tc=tc)
+    return step, state, attrs, dd, chunks, inner, tc
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=("flagship", "men", "10m"),
@@ -46,58 +112,9 @@ def main() -> None:
                          "measurement; larger shows production throughput)")
     args = ap.parse_args()
 
-    from carca_tpu.config import ModelConfig, TrainConfig
-    from carca_tpu.data.dataset import epoch_batches
-    from carca_tpu.data.device_pipeline import DeviceDataset
-    from carca_tpu.data.synthetic import synthetic_catalog
-    from carca_tpu.train.loop import make_scanned_device_train_step
-    from carca_tpu.train.state import create_train_state, make_optimizer
-
-    if args.config == "men":
-        cat = synthetic_catalog(n_users=2048, n_real_items=2000, n_attrs=12,
-                                n_ctx=4, min_len=40, max_len=250, seed=0)
-        seq_len = 200
-    elif args.config == "10m":
-        from carca_tpu.data.synthetic import synthetic_catalog_device
-        cat = synthetic_catalog_device(n_users=100_000,
-                                       n_real_items=10_000_000, seed=0)
-        seq_len = 50
-    else:
-        cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
-        seq_len = 50
     at_scale = args.config == "10m"
-    mc = ModelConfig(
-        n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
-        d=64, g=256, seq_len=seq_len, target_len=100, n_blocks=2, n_heads=2,
-        dropout=0.5, embedding="all", encoding="identity",
-        decoder="dot" if at_scale else "ca",
-        compute_dtype="bfloat16" if at_scale else "float32",
-        use_pallas="auto",
-    )
-    tc = TrainConfig(batch_size=args.batch, seed=0)
-    tx = make_optimizer(tc)
-    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx,
-                               sparse_items=at_scale)
-    from carca_tpu.train.loop import _attrs_dtype
-    attrs = jnp.asarray(cat.attrs, _attrs_dtype(mc))
-
-    # production path: HBM-resident catalog, batches assembled on device
-    # (per-dispatch host→device traffic is one [K, B] user-row matrix),
-    # inner_steps train steps fused into each dispatch via lax.scan
-    dd = DeviceDataset(cat, mc.seq_len, mc.target_len, test=True)
-    users = dd.users("train")
-    rng = np.random.default_rng(0)
-    inner = tc.inner_steps
-    # full batches only: the last partial batch carries -1 pad rows the
-    # assembler masks out, which would inflate the examples/sec numerator
-    rows = [r for r in epoch_batches(users, tc.batch_size, rng, shuffle=True)
-            if (r >= 0).all()]
-    chunks = [jnp.asarray(np.stack([rows[(j * inner + i) % len(rows)]
-                                    for i in range(inner)]), jnp.int32)
-              for j in range(4)]
-
-    step = make_scanned_device_train_step(mc, tx, inner,
-                                          sparse_items=at_scale, tc=tc)
+    step, state, attrs, dd, chunks, inner, tc = build_setup(
+        args.config, args.batch)
 
     from carca_tpu.utils.timing import sync
 

@@ -48,7 +48,7 @@ from carca_tpu.utils.masking import get_mask
 
 
 
-def _attrs_dtype(mc):
+def attrs_dtype(mc):
     """HBM dtype for the attrs catalog: when the model computes in bf16
     the embedding layer casts attr rows to bf16 anyway, so storing the
     table f32 just makes XLA convert the WHOLE table once per dispatch
@@ -357,8 +357,12 @@ def evaluate_retrieval(
     dd = DeviceDataset(catalog, mc.seq_len, mc.target_len, test=tc.test)
     attrs_table = jnp.asarray(catalog.attrs)
     # bf16 catalog embeddings at multi-million-item scale: halves the [N, d]
-    # residency (2.56 GB f32 at 10M, d=64) next to the live train params
-    emb_dtype = jnp.bfloat16 if mc.n_items >= 4_000_000 else jnp.float32
+    # residency (2.56 GB f32 at 10M, d=64) next to the live train params.
+    # The quantized measurement embeds in f32 regardless — serving builds
+    # its int8 index from f32 embeddings, and quantizing already-bf16-
+    # rounded values would measure a different index than the one served
+    emb_dtype = (jnp.bfloat16 if mc.n_items >= 4_000_000 and not quantized
+                 else jnp.float32)
 
     row_ids = None
     index_note = f"{mc.n_items} ids"
@@ -394,9 +398,12 @@ def evaluate_retrieval(
     else:
         emb = jax.jit(lambda p, a: embed_catalog(
             p, mc, a, out_dtype=emb_dtype))(params, attrs_table)
+    # decoder-space transform applied ONCE up front (it is per-row; the
+    # previous code re-applied it to the whole index inside every jitted
+    # eval batch — pure repeated HBM traffic for wdot+l2_norm indexes)
+    emb = jax.jit(lambda e: catalog_in_decoder_space(e, mc))(emb)
     if quantized:
-        emb = jax.jit(lambda e: quantize_index(
-            catalog_in_decoder_space(e, mc)))(emb)
+        emb = jax.jit(quantize_index)(emb)
         index_note += ", int8"
 
     @jax.jit
@@ -411,7 +418,7 @@ def evaluate_retrieval(
         _, ids = topk_given_queries(
             q, emb, mc, k, exclude=p_x, row_ids=row_ids,
             use_kernel=jax.default_backend() == "tpu",
-            in_decoder_space=quantized)  # the int8 index pre-bakes it
+            in_decoder_space=True)  # pre-baked once above
         ids = jnp.where(alive[:, None], ids, -1)  # dead rows never match
         hr, ndcg = retrieval_hr_ndcg(ids, pos, k)
         return hr, ndcg, jnp.sum(alive.astype(jnp.int32))
@@ -586,9 +593,9 @@ def fit(
                                        sparse_items=sparse_items)
         attrs_np = (pad_table_rows(catalog.attrs, mesh) if shard_emb
                     else catalog.attrs)
-        attrs_table = jnp.asarray(attrs_np, _attrs_dtype(mc))
+        attrs_table = jnp.asarray(attrs_np, attrs_dtype(mc))
     else:
-        attrs_table = jnp.asarray(catalog.attrs, _attrs_dtype(mc))
+        attrs_table = jnp.asarray(catalog.attrs, attrs_dtype(mc))
 
     # checkpoints are always written (the reference always saves its best
     # model, src/train.py:117-124); tc.checkpoint_resume gates only whether

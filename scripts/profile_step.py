@@ -4,8 +4,8 @@ Runs the scanned device-pipeline step under ``jax.profiler``, then parses
 the Perfetto trace to aggregate device-stream op durations — the
 "profile before guessing" tool referenced in docs/DESIGN.md §6.
 
-Usage: python scripts/profile_step.py [--config flagship|men] [--batch N]
-                                      [--top 25]
+Usage: python scripts/profile_step.py [--config flagship|men|10m]
+                                      [--batch N] [--top 25]
 """
 
 from __future__ import annotations
@@ -27,55 +27,12 @@ import numpy as np
 
 
 def build(config: str, batch: int):
-    from carca_tpu.config import ModelConfig, TrainConfig
-    from carca_tpu.data.dataset import epoch_batches
-    from carca_tpu.data.device_pipeline import DeviceDataset
-    from carca_tpu.data.synthetic import synthetic_catalog
-    from carca_tpu.train.loop import make_scanned_device_train_step
-    from carca_tpu.train.state import create_train_state, make_optimizer
+    """The EXACT bench setup (shared builder in bench.py), so this profiles
+    the same model/step the headline benchmark measures."""
+    from bench import build_setup
 
-    at_scale = config == "10m"
-    if config == "men":
-        cat = synthetic_catalog(n_users=2048, n_real_items=2000, n_attrs=12,
-                                n_ctx=4, min_len=40, max_len=250, seed=0)
-        seq_len = 200
-    elif at_scale:
-        from carca_tpu.data.synthetic import synthetic_catalog_device
-        cat = synthetic_catalog_device(n_users=100_000,
-                                       n_real_items=10_000_000, seed=0)
-        seq_len = 50
-    else:
-        cat = synthetic_catalog(n_users=4096, n_real_items=2000, seed=0)
-        seq_len = 50
-    mc = ModelConfig(
-        n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
-        d=64, g=256, seq_len=seq_len, target_len=100, n_blocks=2, n_heads=2,
-        dropout=0.5, embedding="all", encoding="identity",
-        decoder="dot" if at_scale else "ca",
-        compute_dtype="bfloat16" if at_scale else "float32",
-        use_pallas="auto",
-    )
-    tc = TrainConfig(batch_size=batch, seed=0)
-    tx = make_optimizer(tc)
-    state = create_train_state(jax.random.PRNGKey(0), mc, tc, tx,
-                               sparse_items=at_scale)
-    from carca_tpu.train.loop import _attrs_dtype
-    attrs = jnp.asarray(cat.attrs, _attrs_dtype(mc))
-    dd = DeviceDataset(cat, mc.seq_len, mc.target_len, test=True)
-    users = dd.users("train")
-    rng = np.random.default_rng(0)
-    inner = tc.inner_steps
-    rows = [r for r in epoch_batches(users, tc.batch_size, rng, shuffle=True)
-            if (r >= 0).all()]
-    if not rows:
-        raise SystemExit(
-            f"--batch {batch} exceeds the synthetic user count "
-            f"({len(users)}): no full batch to profile")
-    chunk = jnp.asarray(np.stack([rows[i % len(rows)] for i in range(inner)]),
-                        jnp.int32)
-    step = make_scanned_device_train_step(mc, tx, inner,
-                                          sparse_items=at_scale, tc=tc)
-    return step, state, attrs, dd, chunk, inner, tc
+    step, state, attrs, dd, chunks, inner, tc = build_setup(config, batch)
+    return step, state, attrs, dd, chunks[0], inner, tc
 
 
 def main() -> None:

@@ -371,7 +371,7 @@ def test_l2_decay_never_touches_sinusoidal_table():
 
 
 def test_bf16_attrs_table_is_value_identical_to_f32():
-    """The bf16-attrs storage optimization (train/loop._attrs_dtype) must
+    """The bf16-attrs storage optimization (train/loop.attrs_dtype) must
     be value-identical to passing f32 attrs into a bf16-compute model —
     the embedding layer casts rows to bf16 either way, so storing bf16
     just moves the (single) rounding earlier."""
@@ -379,14 +379,14 @@ def test_bf16_attrs_table_is_value_identical_to_f32():
 
     from carca_tpu.config import ModelConfig
     from carca_tpu.models.carca import carca_apply, carca_init
-    from carca_tpu.train.loop import _attrs_dtype
+    from carca_tpu.train.loop import attrs_dtype
 
     rng = np.random.default_rng(0)
     mc = ModelConfig(n_items=50, n_attrs=8, n_ctx=3, d=16, g=32, seq_len=6,
                      target_len=5, n_blocks=1, n_heads=2, dropout=0.0,
                      embedding="all", decoder="dot",
                      compute_dtype="bfloat16")
-    assert _attrs_dtype(mc) == jnp.bfloat16
+    assert attrs_dtype(mc) == jnp.bfloat16
     params = carca_init(jax.random.PRNGKey(0), mc)
     attrs_f32 = jnp.asarray(rng.normal(size=(mc.n_items, mc.n_attrs)),
                             jnp.float32)

@@ -156,6 +156,13 @@ def test_evaluate_retrieval_end_to_end(tmp_path):
     assert 0.0 <= out["retrieval_test_hr"] <= 1.0
     assert 0.0 <= out["retrieval_test_ndcg"] <= 1.0
 
+    # the int8-index measurement path (quantized=True) must run end-to-end
+    # and stay close to the float ranking on a trained model
+    outq = evaluate_retrieval(cfg, cat, state.params, mode="test", k=10,
+                              log=False, quantized=True)
+    assert abs(outq["retrieval_test_hr"] - out["retrieval_test_hr"]) <= 0.05
+    assert 0.0 <= outq["retrieval_test_ndcg"] <= 1.0
+
     import pytest as _pytest
     cfg_ca = Config(model=ModelConfig(
         n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
