@@ -55,13 +55,14 @@ def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, train: bool) 
     if rng is None:
         raise ValueError("dropout requires an rng key when train=True and rate>0")
     keep = 1.0 - rate
-    # draw the mask FLAT and reshape: the hardware rng-bit-generator emits
-    # shaped outputs in a non-row-major layout, and XLA inserted a physical
-    # copy at every dropout site to repair it (u32[2B,H,L,L] copies alone
-    # were ~4% of the flagship step; all sites together ~10% — measured
-    # +11% train throughput from this one-liner). A flat draw is emitted
-    # in the natural layout and the reshape is free.
-    mask = jax.random.bernoulli(rng, keep, (x.size,)).reshape(x.shape)
+    # SHAPED draw, deliberately: round 2 switched this to a flat draw +
+    # reshape chasing an rbg layout copy (commit 8519fbf, claimed +11%),
+    # but round-3 A/B at head measured the flat draw ~5% SLOWER end-to-end
+    # (flagship 117-118k vs 124.3k ex/s, two runs each) — the reshape of
+    # the flat stream is what costs a physical copy at these call sites
+    # now. The layout trap is real in general (CLAUDE.md) but must be
+    # re-measured per site and per jax version, not assumed.
+    mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

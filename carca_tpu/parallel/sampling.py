@@ -112,11 +112,17 @@ def _first_distinct_excluding(draws: jnp.ndarray, window: jnp.ndarray,
     prev_eq = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
     # whether each element's equal-value RUN is headed by a window entry
-    # (stability puts window ids at their run's head): propagate the run
-    # head's tag via a cumulative max of head positions
+    # (stability puts window ids at their run's head): pack the head's
+    # window flag into the LSB of its position and propagate it with ONE
+    # cummax — positions increase, so each run's head dominates. The
+    # obvious alternative (cummax head positions, then gather the head's
+    # tag with take_along_axis) costs ~310 µs/step fused into the scanned
+    # train step — TPU gathers serialize per element — a measured 14%
+    # flagship throughput regression (round-2 commit 87a5dbd, bisected
+    # and fixed round 3); the LSB pack is pure vector ops
     pos2 = jnp.broadcast_to(jnp.arange(w + o, dtype=jnp.int32), sv.shape)
-    head_pos = jax.lax.cummax(jnp.where(~prev_eq, pos2, -1), axis=1)
-    head_win = jnp.take_along_axis(st == 0, head_pos, axis=1)
+    enc = jnp.where(~prev_eq, pos2 * 2 + (st == 0), -1)
+    head_win = (jax.lax.cummax(enc, axis=1) & 1) == 1
     big = jnp.int32(2 * (w + o))
     # rank order implements the documented tail preference: good draws (in
     # draw order), then repeated draws, then window-colliding draws, then
