@@ -35,7 +35,7 @@ def build_setup(config: str, batch: int):
     shared by this benchmark and ``scripts/profile_step.py`` so the
     profiler always profiles exactly the model being benchmarked.
 
-    Returns (step, state, attrs, dd, chunks, inner, tc); ``chunks`` are
+    Returns (step, state, attrs, dd, chunks, inner, tc, mc); ``chunks`` are
     four [inner, B] user-row matrices of full (unpadded) batches.
     """
     from carca_tpu.config import ModelConfig, TrainConfig
@@ -93,7 +93,7 @@ def build_setup(config: str, batch: int):
               for j in range(4)]
     step = make_scanned_device_train_step(mc, tx, inner,
                                           sparse_items=at_scale, tc=tc)
-    return step, state, attrs, dd, chunks, inner, tc
+    return step, state, attrs, dd, chunks, inner, tc, mc
 
 
 def main() -> None:
@@ -113,7 +113,7 @@ def main() -> None:
     args = ap.parse_args()
 
     at_scale = args.config == "10m"
-    step, state, attrs, dd, chunks, inner, tc = build_setup(
+    step, state, attrs, dd, chunks, inner, tc, mc = build_setup(
         args.config, args.batch)
 
     from carca_tpu.utils.timing import sync
@@ -138,6 +138,14 @@ def main() -> None:
 
     examples_per_sec = statistics.median(rates)
 
+    # MFU: analytic matmul FLOPs/step over measured step time vs the
+    # chip's bf16 peak (utils/flops.py) — utilization context the raw
+    # vs-torch-CPU ratio can't give. None on unknown chips.
+    from carca_tpu.utils.flops import device_peak_flops, train_step_flops
+    peak = device_peak_flops(jax.devices()[0])
+    mfu = (train_step_flops(mc, tc.batch_size) * examples_per_sec
+           / tc.batch_size / peak) if peak else None
+
     baseline = None
     base_file = ("VALIDATION_men_ref.json" if args.config == "men"
                  else None if at_scale  # no reference counterpart at 10M
@@ -155,6 +163,13 @@ def main() -> None:
         "unit": "examples/sec/chip",
         "vs_baseline": round(examples_per_sec / baseline, 3) if baseline else 1.0,
     }
+    # variance context so round-over-round comparisons can tell jitter
+    # from regression (the round-2 lesson), plus utilization context
+    out["rates"] = {"min": round(min(rates), 1),
+                    "median": round(examples_per_sec, 1),
+                    "max": round(max(rates), 1)}
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
     if args.batch != 256:  # reference was measured at 256
         out["batch"] = args.batch
     print(json.dumps(out))

@@ -167,9 +167,11 @@ class Recommender:
             raise ValueError(f"quantize must be True/False/'auto', got {quantize!r}")
         do_quant = quantize is True or (quantize == "auto"
                                         and index_size >= 1_000_000)
-        # the k-validation bound: true index rows (never the sharding pad)
-        self._index_rows = (index_size + 1 if index_ids is not None
-                            else cfg.n_items)
+        # the k-validation bound: REAL candidates only — excludes the pad
+        # row (id 0 scores -inf and can never be a recommendation), and
+        # never the sharding pad
+        self._index_rows = (index_size if index_ids is not None
+                            else cfg.n_items - 1)
 
         def build(p, a, ri):
             rows = a if ri is None else a[ri]

@@ -143,6 +143,13 @@ def main(argv: Optional[list] = None) -> None:
         import jax
 
         from carca_tpu.parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        if args.index_shards > n_dev:
+            # jax.devices()[:N] would silently yield fewer devices and
+            # make_mesh would fail with a confusing shape error
+            raise SystemExit(
+                f"--index_shards {args.index_shards} exceeds the "
+                f"{n_dev} available device(s)")
         mesh = make_mesh((args.index_shards,), ("model",),
                          devices=jax.devices()[: args.index_shards])
     rec = load_recommender(

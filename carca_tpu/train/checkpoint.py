@@ -47,8 +47,24 @@ class CheckpointKeeper:
     def save(self, epoch: int, state: Any, metrics: Dict[str, float]) -> None:
         """Best-val-NDCG save (improving epochs): params only."""
         self._best.wait_until_finished()
+        prev = self.best_metrics()
         self._best.save(epoch, args=ocp.args.StandardSave(state.params),
                         metrics=dict(metrics))
+        # human-browsable sidecar: the reference encodes
+        # {epoch:03d}_{HR:.4f}_{NDCG:.4f}.pth in the checkpoint FILENAME
+        # (src/train.py:124); orbax paths are step-numbered, so the
+        # at-a-glance contract moves to best/metrics.json. Written only
+        # when THIS save is the retained best (fit() only saves on
+        # improvement, but the keeper API must stay self-consistent), and
+        # only by process 0 (orbax handles multihost internally; this
+        # sidecar must not race).
+        import jax
+        if jax.process_index() == 0 and (
+                prev is None or metrics["ndcg"] >= prev["ndcg"]):
+            import json
+            with open(os.path.join(self._best.directory, "metrics.json"),
+                      "w") as fh:
+                json.dump(dict(metrics, epoch=epoch), fh)
 
     def save_latest(self, epoch: int, state: Any) -> None:
         """Refresh only the resume checkpoint (non-improving epochs)."""

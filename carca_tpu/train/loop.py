@@ -141,29 +141,25 @@ def _sparse_device_update(mc, tc, tx, state, batch, step_rng, rng,
     W = item_table_width(mc)
     pack = table.shape[-1] // W
     cap = batch["p_x"].size + batch["o_x"].size
-    if attrs_table is not None and attrs_table.shape == (cap, table.shape[-1]):
-        cap += 1  # keep the sub-table's shape distinct from the attrs table
     uphys, posmap = sa.touched_physical_rows(batch, pack, table.shape[0],
                                              cap)
     sub = table[jnp.minimum(uphys, table.shape[0] - 1)]
-    # the lookup dispatches on the sub-table's exact shape; nothing else
-    # flowing through it may share that shape (the cap bump above keeps
-    # the attrs catalog distinct — this trips if a new table is routed
-    # through the lookup without extending that guard)
-    assert attrs_table is None or tuple(attrs_table.shape) != tuple(sub.shape)
-    lookup = sa.make_sub_lookup(posmap, pack, sub.shape, base_lookup)
+    # the lookup routes the sub-table by its SubTable marker (identity,
+    # not shape — a same-shaped attrs catalog can't misroute)
+    lookup = sa.make_sub_lookup(posmap, base_lookup)
 
     def loss_fn(p):
         return train_loss(mc, p, batch, step_rng, attrs_table, lookup=lookup)
 
     loss, grads = jax.value_and_grad(loss_fn)(
-        sa.with_items(state.params, sub))
+        sa.with_items(state.params, sa.SubTable(sub)))
     dense_p = sa.without_items(state.params)
     updates, dense_opt = tx.update(sa.without_items(grads),
                                    state.opt_state["dense"], dense_p)
     dense_new = optax.apply_updates(dense_p, updates)
     new_table, sstate = sa.apply_rows_update(
-        table, state.opt_state["items"], uphys, grads["embed"]["items"], sub,
+        table, state.opt_state["items"], uphys,
+        grads["embed"]["items"].rows, sub,
         lr=sa.lr_at(tc, state.opt_state["items"]["count"]),
         b1=tc.beta1, b2=tc.beta2, weight_decay=tc.l2_reg)
     return TrainState(params=sa.with_items(dense_new, new_table),
@@ -536,8 +532,18 @@ def fit(
 
     if tc.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    os.makedirs(tc.out_dir, exist_ok=True)
-    cfg.dump_args_json(os.path.join(tc.out_dir, "args.json"))
+    # on a multi-host pod every process runs fit(); only process 0 owns the
+    # host-side observability surface (stdout, CSV, metrics.jsonl,
+    # args.json) — orbax checkpointing stays collective (all processes
+    # participate in keeper.save). Without this gate a pod run would write
+    # the same CSV from every host (duplicate/racing lines).
+    log = log and jax.process_index() == 0
+    os.makedirs(tc.out_dir, exist_ok=True)  # idempotent; keeper needs it
+    if jax.process_index() == 0:
+        # args.json is a config artifact (serving rebuilds the Config from
+        # it), not logging — written even under log=False, but only by
+        # process 0 on a pod
+        cfg.dump_args_json(os.path.join(tc.out_dir, "args.json"))
 
     dd = None
     if cfg.data.device_pipeline:
@@ -657,6 +663,15 @@ def fit(
         er = cfg.data.exact_rejection
         if er is True or (er == "auto" and dd.hist_max <= 4 * mc.seq_len):
             rw = dd.hist_max
+        elif tc.verbose and log:
+            # make the protocol deviation auditable at runtime: with the
+            # window-only approximation a user's own (unseen) future item
+            # can rarely be drawn as a negative — the reference rejects
+            # against the FULL history (src/data.py:77-87)
+            print(f"note: negative rejection uses the visible window only "
+                  f"(hist_max={dd.hist_max} > 4x seq_len={mc.seq_len}, "
+                  f"exact_rejection={er!r}); set exact_rejection=true for "
+                  f"the reference's full-history protocol")
 
     if mesh is not None and dd is not None:
         # device-resident pipeline over the mesh: catalog replicated,
@@ -735,6 +750,21 @@ def fit(
         t0 = time.perf_counter()
         n_batches, n_examples = 0, 0
         losses = []  # device scalars; read after the epoch (no per-step sync)
+        vb_n, vb_sum = 0, 0.0  # verbose=2 running mean accumulator
+
+        def note_batches(vals, _e=epoch):
+            # verbose=2: the reference's per-batch running-mean train-loss
+            # prints (src/train.py:99-101). Fetching each loss forces a
+            # device sync per dispatch — a debugging mode, like the
+            # reference's (its print also syncs the CUDA stream).
+            nonlocal vb_n, vb_sum
+            if tc.verbose < 2 or not log:
+                return
+            for v in np.ravel(np.asarray(vals)):
+                vb_n += 1
+                vb_sum += float(v)
+                print(f"Epoch {_e:03d} Batch {vb_n:04d}: "
+                      f"Train Loss = {vb_sum / vb_n:.4f}")
 
         def produce():
             # the sharded step with on-device sampling ignores the negative
@@ -758,6 +788,7 @@ def fit(
                     state, loss = train_step(state, attrs_table, dd.arrays,
                                              jnp.asarray(rows, jnp.int32))
                     losses.append(loss)
+                    note_batches(loss)
                     continue
                 pending.append(rows)
                 if len(pending) == tc.inner_steps:
@@ -765,11 +796,13 @@ def fit(
                         state, attrs_table, dd.arrays,
                         jnp.asarray(np.stack(pending), jnp.int32))
                     losses.append(jnp.sum(k_losses))
+                    note_batches(k_losses)
                     pending = []
             for rows in pending:  # remainder: single-step dispatches
                 state, loss = train_step(state, attrs_table, dd.arrays,
                                          jnp.asarray(rows, jnp.int32))
                 losses.append(loss)
+                note_batches(loss)
         else:
             for n_valid, batch in prefetch(produce()):
                 if profiling:
@@ -779,6 +812,7 @@ def fit(
                 else:
                     state, loss = train_step(state, attrs_table, batch)
                 losses.append(loss)
+                note_batches(loss)
                 n_batches += 1
                 n_examples += n_valid
         # fetching the loss sum is the real device sync (block_until_ready

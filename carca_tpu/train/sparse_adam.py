@@ -29,12 +29,31 @@ Classic-L2 weight decay likewise applies to touched rows only.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
+
+
+class SubTable(NamedTuple):
+    """Marker pytree for the gathered unique-rows sub-table.
+
+    The model's pluggable ``lookup`` sees both the attrs catalog and the
+    sub-table; routing between them must be by IDENTITY, not by shape — a
+    same-shaped array flowing through the lookup would silently misroute
+    (a round-2 landmine flagged in VERDICT: the old shape dispatch needed
+    a ``cap += 1`` collision bump plus an assert). NamedTuples are pytrees,
+    so the wrapper survives jit/grad transparently; ``shape`` delegates so
+    ``lookup_maybe_packed``'s packed-width dispatch keeps working.
+    """
+
+    rows: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.rows.shape
 
 
 def resolve(cfg) -> bool:
@@ -87,20 +106,19 @@ def touched_physical_rows(batch: Dict[str, jnp.ndarray], pack: int,
     return uphys, posmap
 
 
-def make_sub_lookup(posmap: jnp.ndarray, pack: int,
-                    sub_shape: Tuple[int, ...],
+def make_sub_lookup(posmap: jnp.ndarray,
                     base_lookup: Callable | None = None) -> Callable:
     """A ``lookup(table, rows)`` for ``embedding_apply`` that resolves
     physical rows inside the gathered sub-table via the position map when
-    the table IS the sub-table (identified by its exact shape — the full
-    attrs catalog flows through the same lookup and must route through
-    ``base_lookup``, e.g. the shard_map row-sharded gather on a mesh).
-    ``embedding_apply``'s packed path already divides ids by the pack
-    factor before calling lookup, so ``rows`` are physical."""
+    the table IS the sub-table (identified by its ``SubTable`` wrapper —
+    the full attrs catalog flows through the same lookup and must route
+    through ``base_lookup``, e.g. the shard_map row-sharded gather on a
+    mesh). ``embedding_apply``'s packed path already divides ids by the
+    pack factor before calling lookup, so ``rows`` are physical."""
 
     def lookup(table, rows):
-        if table.shape == sub_shape:
-            return table[posmap[rows]]
+        if isinstance(table, SubTable):
+            return table.rows[posmap[rows]]
         if base_lookup is not None:
             return base_lookup(table, rows)
         return jnp.take(table, rows, axis=0)

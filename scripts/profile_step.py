@@ -31,7 +31,7 @@ def build(config: str, batch: int):
     the same model/step the headline benchmark measures."""
     from bench import build_setup
 
-    step, state, attrs, dd, chunks, inner, tc = build_setup(config, batch)
+    step, state, attrs, dd, chunks, inner, tc, mc = build_setup(config, batch)
     return step, state, attrs, dd, chunks[0], inner, tc
 
 

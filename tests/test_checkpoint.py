@@ -36,6 +36,13 @@ def test_state_roundtrip_and_best_retention(tmp_path):
     keeper.save(2, state, {"ndcg": 0.3, "hr": 0.4, "epoch": 2})  # worse
     assert keeper.best_metrics()["ndcg"] == 0.5  # retention = best NDCG
 
+    # human-browsable sidecar (the reference's filename contract,
+    # src/train.py:124, relocated): best/metrics.json mirrors the LAST
+    # improving save's metrics
+    import json
+    side = json.load(open(str(tmp_path / "ckpt" / "best" / "metrics.json")))
+    assert side == {"ndcg": 0.5, "hr": 0.6, "epoch": 1}  # not the worse save
+
     restored = keeper.restore_best(state)
     assert restored is not None and restored[0] == 1
     for a, b in zip(jax.tree_util.tree_leaves(restored[1].params),

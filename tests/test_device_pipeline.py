@@ -273,3 +273,55 @@ def test_popularity_negative_sampling():
     # items with zero events can never be drawn; popular ones dominate
     assert counts[rare].sum() == 0
     assert counts[popular].sum() > 0.3 * counts.sum()
+
+
+def test_verbose2_per_batch_logging(tmp_path, capsys):
+    """tc.verbose == 2 prints a running-mean train loss per batch
+    (the reference's verbose=2 behavior, src/train.py:99-101) — on the
+    scanned dispatch path each inner step still yields one line."""
+    from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=100, n_real_items=80, seed=3)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=6, target_len=8, n_blocks=1,
+                     n_heads=2, dropout=0.1, decoder="ca")
+    cfg = Config(model=mc,
+                 data=DataConfig(synthetic=True, device_pipeline=True),
+                 train=TrainConfig(batch_size=32, epochs=1, verbose=2,
+                                   out_dir=str(tmp_path), checkpoint=False,
+                                   inner_steps=2))
+    fit(cfg, cat)
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if "Batch" in ln and "Train Loss" in ln]
+    # 100 users -> some full + remainder batches; every train batch logs
+    import math
+    from carca_tpu.data.device_pipeline import DeviceDataset
+    dd = DeviceDataset(cat, mc.seq_len, mc.target_len, test=True)
+    expect = math.ceil(len(dd.users("train")) / 32)
+    assert len(lines) == expect
+    assert lines[0].startswith("Epoch 001 Batch 0001")
+    # running means are finite numbers
+    assert all(float(ln.rsplit("=", 1)[1]) > 0 for ln in lines)
+
+
+def test_window_rejection_note_surfaced(tmp_path, capsys):
+    """exact_rejection=False on the device pipeline prints the protocol-
+    deviation note (eval negatives reject only against the visible
+    window; the reference rejects against the full history,
+    src/data.py:77-87)."""
+    from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=100, n_real_items=80, seed=3)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=6, target_len=8, n_blocks=1,
+                     n_heads=2, dropout=0.1, decoder="ca")
+    cfg = Config(model=mc,
+                 data=DataConfig(synthetic=True, device_pipeline=True,
+                                 exact_rejection=False),
+                 train=TrainConfig(batch_size=32, epochs=1,
+                                   out_dir=str(tmp_path), checkpoint=False))
+    fit(cfg, cat)
+    out = capsys.readouterr().out
+    assert "negative rejection uses the visible window only" in out

@@ -367,3 +367,26 @@ def test_sampler_tail_prefers_repeats_over_window_items():
     assert out[0] == 3           # the one good draw, in draw order
     assert out[1] == 3           # then the repeated draw
     assert out[2] == 5           # window item only as the last resort
+
+
+def test_three_axis_mesh_with_dead_seq_axis(tmp_path):
+    """SURVEY §2.3/§5: TP and sequence axes stay PLUMBED — a (2, 2, 2)
+    mesh with a dead 'seq' axis must flow through the sharded device-
+    pipeline fit unchanged (param/batch shardings simply never use the
+    extra axis). Guards against shape-rule code assuming a 2-axis mesh."""
+    from carca_tpu.config import Config, DataConfig
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=96, n_real_items=60, seed=5)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="ca")
+    dc = DataConfig(device_pipeline=True)
+    t = TrainConfig(batch_size=16, epochs=1, early_stop=10, seed=0,
+                    inner_steps=2, out_dir=str(tmp_path / "mesh3"),
+                    mesh_shape=(2, 2, 2),
+                    mesh_axes=("data", "model", "seq"),
+                    shard_embeddings=True)
+    _, m = fit(Config(model=mc, data=dc, train=t), cat, log=False)
+    assert np.isfinite(m["val_ndcg"]) and np.isfinite(m["test_ndcg"])
+    assert 0.0 <= m["val_hr"] <= 1.0
