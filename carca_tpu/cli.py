@@ -124,6 +124,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="refresh the latest/ full-state resume checkpoint "
                         "every N-th epoch (plus the first); best/ (params "
                         "only) always saves on improvement")
+    p.add_argument("--loss", type=str, default="bce",
+                   choices=("bce", "softmax"),
+                   help="training objective: bce = the reference's 1-vs-K "
+                        "masked BCE (src/train.py:86-93); softmax = "
+                        "per-position sampled softmax over the candidate "
+                        "groups (retrieval-aligned; logQ-corrected under "
+                        "--neg_distribution popularity)")
+    p.add_argument("--n_train_negatives", type=int, default=1,
+                   help="negatives per positive train position (reference "
+                        "protocol = 1; >1 requires --device_pipeline true)")
     p.add_argument("--eval_retrieval", type=int, default=0,
                    help="after training, run full-catalog leave-one-out "
                         "retrieval eval at this top-k (dot/wdot decoders)")
@@ -149,6 +159,7 @@ _PRESET_OVERLAY = {
         "checkpoint_interval": "checkpoint_interval",
         "checkpoint": "checkpoint",
         "sparse_items_adam": "sparse_items_adam",
+        "loss": "loss", "n_train_negatives": "n_train_negatives",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
@@ -241,7 +252,9 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         synthetic_seed=args.seed,
     )
     tc = TrainConfig(
-        lr=args.lr, lr_schedule=args.lr_schedule,
+        lr=args.lr, loss=args.loss,
+        n_train_negatives=args.n_train_negatives,
+        lr_schedule=args.lr_schedule,
         lr_decay_steps=args.lr_decay_steps, lr_decay_rate=args.lr_decay_rate,
         beta1=args.beta1, beta2=args.beta2, l2_reg=args.l2_reg,
         batch_size=args.batch_size, epochs=args.epochs,

@@ -134,6 +134,18 @@ class TrainConfig:
     ``scripts/training.py:40-59``)."""
 
     lr: float = 1e-3
+    # --- training objective (TPU-native additions; the reference is
+    # hard-wired to 1-vs-1 masked BCE, src/train.py:86-93) ---
+    # "bce" = the reference loss. "softmax" = per-position sampled softmax
+    # over [positive, n_train_negatives negatives] — the retrieval-aligned
+    # objective (full-catalog ranking is a softmax over N, and a sampled
+    # softmax is its unbiased surrogate; 1-vs-1 BCE is the weakest
+    # possible retrieval signal — see docs/DESIGN.md §11c).
+    loss: str = "bce"
+    # K uniform (or popularity) negatives per positive train position.
+    # 1 = the reference protocol; >1 needs the device pipeline (negatives
+    # are drawn on device). Eval protocol is unaffected.
+    n_train_negatives: int = 1
     # optional LR schedule (the reference's train() accepts a torch
     # scheduler, src/train.py:68,110-111, though its CLI never passes one)
     lr_schedule: str = "none"  # none | cosine | exponential

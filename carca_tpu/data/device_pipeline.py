@@ -118,7 +118,8 @@ def _history_rows(arrays, user_rows: jnp.ndarray, H: int) -> jnp.ndarray:
 
 def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
                    rng: jax.Array, reject_width: int = 0,
-                   neg_pop: bool = False) -> Dict[str, jnp.ndarray]:
+                   neg_pop: bool = False,
+                   n_neg: int = 1) -> Dict[str, jnp.ndarray]:
     """[B] user rows → train batch, entirely on device.
 
     The positive targets are the profile window shifted by one event
@@ -126,6 +127,12 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     serves profile items, positives, and their contexts — TPU row gathers
     are the dominant assembly cost (measured ~4 ms/step at B=2048 with
     separate p/o/last gathers; halved by the shared window).
+
+    ``n_neg`` (``TrainConfig.n_train_negatives``): negatives per positive.
+    1 reproduces the reference layout (o arrays [B, 2L], src/data.py:
+    122-130); K>1 widens them to [B, (1+K)L] group-major — all K·L
+    negatives of a row are sampled jointly without replacement, every
+    group inherits the positives' contexts (the :130 rule).
     """
     evt, validw, alive, _, _ = _window_slots(arrays, "train", user_rows, L,
                                              L + 1)
@@ -153,15 +160,16 @@ def assemble_train(arrays, L: int, n_items: int, user_rows: jnp.ndarray,
     reject = (_history_rows(arrays, user_rows, reject_width)
               if reject_width > 0 else w_x)
     negs = device_sample_negatives(
-        rng, reject, n_items, L,
+        rng, reject, n_items, n_neg * L,
         retries_for(reject.shape[1], n_items, popularity=neg_pop),
         events=arrays["items"] if neg_pop else None)
-    o_neg = jnp.where(valid, negs, 0)
+    o_neg = jnp.where(jnp.tile(valid, (1, n_neg)), negs, 0)
 
     o_x = jnp.concatenate([o_pos, o_neg], axis=1)
-    o_c = jnp.concatenate([o_pos_c, o_pos_c], axis=1)  # src/data.py:130
+    o_c = jnp.concatenate([o_pos_c] * (1 + n_neg), axis=1)  # src/data.py:130
     y = jnp.concatenate([valid.astype(jnp.float32),
-                         jnp.zeros_like(valid, jnp.float32)], axis=1)
+                         jnp.zeros((valid.shape[0], n_neg * L),
+                                   jnp.float32)], axis=1)
     return {"p_x": p_x, "p_c": p_c, "o_x": o_x, "o_c": o_c, "y_true": y,
             "n_valid": jnp.sum(alive.astype(jnp.int32))}
 

@@ -93,6 +93,7 @@ def score_targets(
     rng: Optional[jax.Array] = None,
     attrs_table: Optional[jnp.ndarray] = None,
     lookup=embeddings._default_lookup,
+    return_logits: bool = False,
 ) -> jnp.ndarray:
     """Embed + decode each target group; concat scores (src/carca.py:424-431).
 
@@ -123,7 +124,7 @@ def score_targets(
         tile = lambda x: jnp.concatenate([x] * g, axis=0)
         y = decoders.decoder_apply(
             params["decoder"], cfg, o_e, o_mask, tile(p_e), tile(p_mask),
-            train=train, rng=rng,
+            train=train, rng=rng, return_logits=return_logits,
         )
         # [G·B, L] → scores concatenated group-major along the last axis
         return y.reshape(g, b, -1).transpose(1, 0, 2).reshape(b, -1)
@@ -138,7 +139,7 @@ def score_targets(
         )
         y = decoders.decoder_apply(
             params["decoder"], cfg, o_e, o_mask, p_e, p_mask,
-            train=train, rng=r,
+            train=train, rng=r, return_logits=return_logits,
         )
         y_preds.append(y)
     return jnp.concatenate(y_preds, axis=-1)
@@ -154,10 +155,14 @@ def carca_apply(
     rng: Optional[jax.Array] = None,
     attrs_table: Optional[jnp.ndarray] = None,
     lookup=embeddings._default_lookup,
+    return_logits: bool = False,
 ) -> jnp.ndarray:
     """Full forward: profile + target groups → concatenated scores.
 
-    Train: targets=[(pos…), (neg…)] → [B, 2L]. Eval: one group → [B, T+1].
+    Train: targets=[(pos…), (neg…)] → [B, 2L]; with
+    ``TrainConfig.n_train_negatives=K``, [B, (1+K)L]. Eval: one group →
+    [B, T+1]. ``return_logits=True`` returns pre-sigmoid scores (the
+    sampled-softmax objective's input; see ``decoders.decoder_apply``).
     """
     if rng is not None:
         rng_p, rng_t = jax.random.split(rng)
@@ -169,5 +174,5 @@ def carca_apply(
     )
     return score_targets(
         params, cfg, p_e, p_mask, targets, train=train, rng=rng_t,
-        attrs_table=attrs_table, lookup=lookup,
+        attrs_table=attrs_table, lookup=lookup, return_logits=return_logits,
     )

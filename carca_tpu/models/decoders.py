@@ -59,7 +59,14 @@ def decoder_apply(
     *,
     train: bool,
     rng: Optional[jax.Array],
+    return_logits: bool = False,
 ) -> jnp.ndarray:
+    """``return_logits=True`` skips the probability mapping (sigmoid, or
+    the wdot-cosine affine) and returns the raw per-candidate score — the
+    sampled-softmax objective (``TrainConfig.loss="softmax"``) needs
+    logits, and probabilities would double-squash them. No reference
+    counterpart (its loss consumes probabilities only,
+    ``src/carca.py:437-444``)."""
     kind = cfg.decoder
     if kind == "ca":
         causal = -1 if train else None  # src/carca.py:339
@@ -72,14 +79,16 @@ def decoder_apply(
         if cfg.residual_ca:
             s = s + o
         y = layers.dense(params["ffn"], s, jnp.dtype(cfg.compute_dtype))
-        return jax.nn.sigmoid(y[..., 0].astype(jnp.float32))
+        y = y[..., 0].astype(jnp.float32)
+        return y if return_logits else jax.nn.sigmoid(y)
 
     if kind == "dot":
         if train:
             y = jnp.sum(p * o, axis=-1)  # aligned positions (src/carca.py:360)
         else:
             y = jnp.sum(p[:, -1:, :] * o, axis=-1)  # last state vs all (:362)
-        return jax.nn.sigmoid(y.astype(jnp.float32))
+        y = y.astype(jnp.float32)
+        return y if return_logits else jax.nn.sigmoid(y)
 
     if kind == "wdot":
         L = p.shape[1]
@@ -104,6 +113,8 @@ def decoder_apply(
         else:
             y = jnp.sum(pw[:, -1:, :] * ow, axis=-1)
         y = y.astype(jnp.float32)
+        if return_logits:
+            return y  # wdot+l2_norm: the "logit" is the raw cosine
         if cfg.l2_norm:
             return (y + 1.0) / 2.0  # cosine → [0, 1] (src/carca.py:391)
         return jax.nn.sigmoid(y)

@@ -119,6 +119,19 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_shardings(batch, mesh))
 
 
+def put_if_multiprocess(tree, shardings):
+    """Global-ize host/local arrays before a jit with non-trivial
+    ``in_shardings`` — on a multi-host pod, jit REJECTS raw numpy /
+    process-local arrays for sharded specs ("Passing non-trivial shardings
+    for numpy inputs is not allowed"); ``device_put`` builds the global
+    array from the (identical-per-process) host value. Single-process runs
+    skip it: jit's own implicit transfer is equivalent and this avoids a
+    second dispatch on the hot path."""
+    if jax.process_count() == 1:
+        return tree
+    return jax.device_put(tree, shardings)
+
+
 def prepare_state_for_mesh(state, mesh: Mesh, tx, sparse_items: bool = False):
     """Pad embedding tables to row-shard evenly over ``model`` and rebuild
     the optimizer state to match (split dense/sparse structure when the

@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from carca_tpu.models.embeddings import _default_lookup
 from carca_tpu.parallel.embedding import make_sharded_lookup
-from carca_tpu.parallel.mesh import batch_shardings, param_shardings, table_sharding
+from carca_tpu.parallel.mesh import (batch_shardings, param_shardings,
+                                     put_if_multiprocess, table_sharding)
 from carca_tpu.parallel.sampling import device_sample_negatives, retries_for
 from carca_tpu.train.loop import (_sparse_device_update, apply_gradients,
                                   eval_metrics, train_loss)
@@ -65,6 +66,8 @@ def make_sharded_train_step(
     *,
     shard_embeddings: bool = False,
     device_negatives: bool = False,
+    tc=None,
+    logq=None,
 ) -> Callable:
     """(state, attrs_table, batch) → (state, loss), sharded over ``mesh``.
 
@@ -74,6 +77,8 @@ def make_sharded_train_step(
     """
     lookup = _lookup_for(mesh, shard_embeddings)
     L = mc.seq_len
+    from carca_tpu.train.loop import _loss_opts
+    lo = _loss_opts(tc, logq)
 
     def train_step(state: TrainState, attrs_table, batch):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
@@ -99,7 +104,7 @@ def make_sharded_train_step(
         return apply_gradients(
             tx, state,
             lambda p: train_loss(mc, p, batch, step_rng, attrs_table,
-                                 lookup=lookup), rng)
+                                 lookup=lookup, **lo), rng)
 
     return _jit_sharded(train_step, mc, mesh, shard_embeddings, donate=True)
 
@@ -116,6 +121,7 @@ def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
     repl = NamedSharding(mesh, P())
 
     def wrapped(params, attrs_table, batch):
+        batch = put_if_multiprocess(batch, batch_shardings(batch, mesh))
         return jax.jit(
             eval_step,
             in_shardings=(
@@ -132,7 +138,7 @@ def make_sharded_eval_step(mc, top_k: int, mesh: Mesh, *,
 def make_sharded_device_train_step(
     mc, tx, mesh: Mesh, *, shard_embeddings: bool = False,
     inner_steps: int = 1, reject_width: int = 0, neg_pop: bool = False,
-    sparse_items: bool = False, tc=None,
+    sparse_items: bool = False, tc=None, logq=None,
 ) -> Callable:
     """Device-pipeline train step over the mesh: (state, attrs_table,
     catalog_arrays, user_rows) → (state, loss).
@@ -148,23 +154,27 @@ def make_sharded_device_train_step(
     dispatch via ``lax.scan`` (the single-device scanned dispatch).
     """
     from carca_tpu.data.device_pipeline import assemble_train
+    from carca_tpu.train.loop import _loss_opts
     lookup = _lookup_for(mesh, shard_embeddings)
     L = mc.seq_len
+    n_neg = tc.n_train_negatives if tc is not None else 1
+    lo = _loss_opts(tc, logq)
 
     def one_step(attrs_table, arrays, state: TrainState, rows):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
         batch = _constrain_batch(
             assemble_train(arrays, L, mc.n_items, rows, neg_rng,
-                           reject_width, neg_pop), mesh)
+                           reject_width, neg_pop, n_neg=n_neg), mesh)
         if sparse_items:
             # the sub-table gather/scatter is partitioned by XLA SPMD over
             # the row-sharded table; attrs lookups keep the shard_map path
             return _sparse_device_update(mc, tc, tx, state, batch, step_rng,
-                                         rng, attrs_table, base_lookup=lookup)
+                                         rng, attrs_table, base_lookup=lookup,
+                                         logq=logq)
         return apply_gradients(
             tx, state,
             lambda p: train_loss(mc, p, batch, step_rng, attrs_table,
-                                 lookup=lookup), rng)
+                                 lookup=lookup, **lo), rng)
 
     if inner_steps > 1:
         def step(state, attrs_table, arrays, user_rows):
@@ -214,6 +224,8 @@ def make_sharded_device_eval_step(
     rows_spec = (P(None, "data") if inner_steps > 1 else P("data"))
 
     def wrapped(params, attrs_table, arrays, user_rows, keys):
+        user_rows = put_if_multiprocess(user_rows,
+                                        NamedSharding(mesh, rows_spec))
         arrays_repl = jax.tree_util.tree_map(lambda _: repl, arrays)
         fn = jax.jit(
             step,
@@ -239,6 +251,8 @@ def _jit_sharded_device(step, mesh: Mesh, shard_embeddings: bool,
     rows_spec = (P(None, "data") if rows_dims == 2 else P("data"))
 
     def wrapped(state, attrs_table, arrays, user_rows):
+        user_rows = put_if_multiprocess(user_rows,
+                                        NamedSharding(mesh, rows_spec))
         arrays_repl = jax.tree_util.tree_map(lambda _: repl, arrays)
         fn = jax.jit(
             step,
@@ -269,6 +283,7 @@ def _jit_sharded(step, mc, mesh: Mesh, shard_embeddings: bool, donate: bool):
     repl = NamedSharding(mesh, P())
 
     def wrapped(state, attrs_table, batch):
+        batch = put_if_multiprocess(batch, batch_shardings(batch, mesh))
         fn = jax.jit(
             step,
             in_shardings=(

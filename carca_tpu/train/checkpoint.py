@@ -31,17 +31,30 @@ class CheckpointKeeper:
     def __init__(self, directory: str):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        # distinct barrier_sync_key_prefix per manager: on a multi-process
+        # run both managers' async finalize threads sync through the jax
+        # coordination service, and with the default (shared) key space an
+        # in-flight best/ save races an in-flight latest/ save into
+        # "Barrier ThreadSaveMultiHostValueHolder:set_value_start is
+        # already ongoing" (caught by tests/test_multihost.py). Harmless
+        # single-process (barriers are no-ops there).
         self._best = ocp.CheckpointManager(
             os.path.join(directory, "best"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=1,
                 best_fn=lambda metrics: metrics["ndcg"],
                 best_mode="max",
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="best"),
             ),
         )
         self._latest = ocp.CheckpointManager(
             os.path.join(directory, "latest"),
-            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="latest"),
+            ),
         )
 
     def save(self, epoch: int, state: Any, metrics: Dict[str, float]) -> None:

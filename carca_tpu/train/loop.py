@@ -41,7 +41,7 @@ from carca_tpu.data.dataset import BatchBuilder, epoch_batches
 from carca_tpu.data.prefetch import prefetch
 from carca_tpu.data.loaders import Catalog
 from carca_tpu.models.carca import carca_apply
-from carca_tpu.models.losses import masked_bce
+from carca_tpu.models.losses import masked_bce, sampled_softmax
 from carca_tpu.train.metrics import hr_ndcg_sums
 from carca_tpu.train.state import TrainState, create_train_state, make_optimizer
 from carca_tpu.utils.masking import get_mask
@@ -59,23 +59,43 @@ def attrs_dtype(mc):
             else jnp.float32)
 
 
-def train_loss(mc, params, batch, step_rng, attrs_table, lookup=None):
+def train_loss(mc, params, batch, step_rng, attrs_table, lookup=None,
+               loss_kind: str = "bce", logq=None):
     """THE train-time loss, shared verbatim by every step variant (single-
-    device, scanned, sharded, device-pipeline): pos/neg target split
-    (``src/train.py:86-88``), forward, masked BCE over [B, 2L] with
-    ``get_mask(o_x)`` (``:92-93``). Single definition = single-vs-multi-
-    chip parity is structural, not copy-kept."""
+    device, scanned, sharded, device-pipeline): target-group split
+    (``src/train.py:86-88``; group count inferred from the batch width, so
+    the reference's [pos, neg] pair and the K-negative layout share one
+    path), forward, then the objective. Single definition = single-vs-
+    multi-chip parity is structural, not copy-kept.
+
+    ``loss_kind``: "bce" = masked BCE over every candidate slot with
+    ``get_mask(o_x)`` (``src/train.py:92-93``, the reference objective);
+    "softmax" = per-position sampled softmax over the groups with optional
+    logQ correction (``models/losses.sampled_softmax`` — the retrieval-
+    aligned objective, DESIGN §11c)."""
     L = mc.seq_len
     o_x, o_c = batch["o_x"], batch["o_c"]
+    n_groups = o_x.shape[1] // L
     targets = [
-        (o_x[:, :L], None, o_c[:, :L]),
-        (o_x[:, L:], None, o_c[:, L:]),
+        (o_x[:, i * L:(i + 1) * L], None, o_c[:, i * L:(i + 1) * L])
+        for i in range(n_groups)
     ]
     kw = {} if lookup is None else {"lookup": lookup}
     y_pred = carca_apply(
         params, mc, (batch["p_x"], None, batch["p_c"]), targets,
-        train=True, rng=step_rng, attrs_table=attrs_table, **kw)
+        train=True, rng=step_rng, attrs_table=attrs_table,
+        return_logits=loss_kind == "softmax", **kw)
+    if loss_kind == "softmax":
+        return sampled_softmax(y_pred, o_x, n_groups, logq=logq)
     return masked_bce(y_pred, batch["y_true"], get_mask(o_x))
+
+
+def _loss_opts(tc, logq=None):
+    """train_loss kwargs from TrainConfig (None -> reference defaults)."""
+    if tc is None:
+        return {}
+    return {"loss_kind": tc.loss,
+            "logq": logq if tc.loss == "softmax" else None}
 
 
 def eval_metrics(mc, top_k, params, batch, attrs_table, lookup=None):
@@ -104,15 +124,17 @@ def apply_gradients(tx, state, loss_fn, new_rng):
                       step=state.step + 1), loss
 
 
-def make_train_step(mc, tx) -> Callable:
+def make_train_step(mc, tx, tc=None) -> Callable:
     """Jitted train step: (state, attrs_table, batch) → (state, loss)."""
+    lo = _loss_opts(tc)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, attrs_table, batch):
         rng, step_rng = jax.random.split(state.rng)
         return apply_gradients(
             tx, state,
-            lambda p: train_loss(mc, p, batch, step_rng, attrs_table), rng)
+            lambda p: train_loss(mc, p, batch, step_rng, attrs_table, **lo),
+            rng)
 
     return train_step
 
@@ -129,7 +151,7 @@ def make_eval_step(mc, top_k: int) -> Callable:
 
 
 def _sparse_device_update(mc, tc, tx, state, batch, step_rng, rng,
-                          attrs_table, base_lookup=None):
+                          attrs_table, base_lookup=None, logq=None):
     """Device-pipeline train update with the lazy row-sparse item-table
     Adam (train/sparse_adam.py): differentiates w.r.t. the gathered
     sub-table so no dense [R, W] gradient materializes, updates dense
@@ -148,8 +170,11 @@ def _sparse_device_update(mc, tc, tx, state, batch, step_rng, rng,
     # not shape — a same-shaped attrs catalog can't misroute)
     lookup = sa.make_sub_lookup(posmap, base_lookup)
 
+    lo = _loss_opts(tc, logq)
+
     def loss_fn(p):
-        return train_loss(mc, p, batch, step_rng, attrs_table, lookup=lookup)
+        return train_loss(mc, p, batch, step_rng, attrs_table, lookup=lookup,
+                          **lo)
 
     loss, grads = jax.value_and_grad(loss_fn)(
         sa.with_items(state.params, sa.SubTable(sub)))
@@ -169,25 +194,28 @@ def _sparse_device_update(mc, tc, tx, state, batch, step_rng, rng,
 
 def make_device_train_step(mc, tx, reject_width: int = 0,
                            neg_pop: bool = False, sparse_items: bool = False,
-                           tc=None) -> Callable:
+                           tc=None, logq=None) -> Callable:
     """Train step with ON-DEVICE batch assembly: (state, attrs_table,
     catalog_arrays, user_rows [B]) → (state, loss). The only per-step
     host→device transfer is the user-row vector (~1 KB) — essential when
     host→device bandwidth is scarce (see data/device_pipeline.py)."""
     from carca_tpu.data.device_pipeline import assemble_train
     L = mc.seq_len
+    n_neg = tc.n_train_negatives if tc is not None else 1
+    lo = _loss_opts(tc, logq)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, attrs_table, arrays, user_rows):
         rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
         batch = assemble_train(arrays, L, mc.n_items, user_rows, neg_rng,
-                               reject_width, neg_pop)
+                               reject_width, neg_pop, n_neg=n_neg)
         if sparse_items:
             return _sparse_device_update(mc, tc, tx, state, batch, step_rng,
-                                         rng, attrs_table)
+                                         rng, attrs_table, logq=logq)
         return apply_gradients(
             tx, state,
-            lambda p: train_loss(mc, p, batch, step_rng, attrs_table), rng)
+            lambda p: train_loss(mc, p, batch, step_rng, attrs_table, **lo),
+            rng)
 
     return train_step
 
@@ -196,7 +224,7 @@ def make_scanned_device_train_step(mc, tx, inner_steps: int,
                                    reject_width: int = 0,
                                    neg_pop: bool = False,
                                    sparse_items: bool = False,
-                                   tc=None) -> Callable:
+                                   tc=None, logq=None) -> Callable:
     """``inner_steps`` on-device train steps per dispatch via ``lax.scan``:
     (state, attrs_table, catalog_arrays, user_rows [K, B]) → (state,
     losses [K]).
@@ -209,19 +237,23 @@ def make_scanned_device_train_step(mc, tx, inner_steps: int,
     """
     from carca_tpu.data.device_pipeline import assemble_train
     L = mc.seq_len
+    n_neg = tc.n_train_negatives if tc is not None else 1
+    lo = _loss_opts(tc, logq)
 
     @partial(jax.jit, donate_argnums=(0,))
     def scanned_step(state: TrainState, attrs_table, arrays, user_rows):
         def one_step(state: TrainState, rows):
             rng, step_rng, neg_rng = jax.random.split(state.rng, 3)
             batch = assemble_train(arrays, L, mc.n_items, rows, neg_rng,
-                                   reject_width, neg_pop)
+                                   reject_width, neg_pop, n_neg=n_neg)
             if sparse_items:
                 return _sparse_device_update(mc, tc, tx, state, batch,
-                                             step_rng, rng, attrs_table)
+                                             step_rng, rng, attrs_table,
+                                             logq=logq)
             return apply_gradients(
                 tx, state,
-                lambda p: train_loss(mc, p, batch, step_rng, attrs_table),
+                lambda p: train_loss(mc, p, batch, step_rng, attrs_table,
+                                     **lo),
                 rng)
 
         return jax.lax.scan(one_step, state, user_rows, length=inner_steps)
@@ -600,6 +632,16 @@ def fit(
         attrs_np = (pad_table_rows(catalog.attrs, mesh) if shard_emb
                     else catalog.attrs)
         attrs_table = jnp.asarray(attrs_np, attrs_dtype(mc))
+        if jax.process_count() > 1:
+            # multi-host: globalize state/attrs up front — jit rejects
+            # process-local arrays for non-trivial in_shardings (the
+            # sharded-table P('model') leaves; see put_if_multiprocess)
+            from carca_tpu.parallel.mesh import (param_shardings,
+                                                 table_sharding)
+            state = jax.device_put(
+                state, param_shardings(state, mesh, shard_emb))
+            attrs_table = jax.device_put(
+                attrs_table, table_sharding(mesh, shard_emb))
     else:
         attrs_table = jnp.asarray(catalog.attrs, attrs_dtype(mc))
 
@@ -659,6 +701,23 @@ def fit(
         raise ValueError(
             "neg_distribution='popularity' draws from the HBM-resident "
             "event array — it requires device_pipeline=true")
+    if tc.loss not in ("bce", "softmax"):
+        raise ValueError(f"TrainConfig.loss must be 'bce' or 'softmax', "
+                         f"got {tc.loss!r}")
+    if tc.n_train_negatives < 1:
+        raise ValueError("n_train_negatives must be >= 1")
+    if tc.n_train_negatives > 1 and dd is None:
+        raise ValueError(
+            "n_train_negatives > 1 draws negatives on device — it "
+            "requires device_pipeline=true")
+    # logQ correction table for sampled softmax under popularity-drawn
+    # negatives (losses.sampled_softmax): log empirical unigram probability
+    # per item. Uniform sampling needs no correction (constant shift).
+    logq = None
+    if tc.loss == "softmax" and neg_pop:
+        ev = dd.arrays["items"]
+        counts = jnp.bincount(ev, length=mc.n_items).astype(jnp.float32)
+        logq = jnp.log(jnp.maximum(counts, 1.0)) - jnp.log(float(ev.shape[0]))
     if dd is not None:
         er = cfg.data.exact_rejection
         if er is True or (er == "auto" and dd.hist_max <= 4 * mc.seq_len):
@@ -681,12 +740,12 @@ def fit(
             make_sharded_device_eval_step, make_sharded_device_train_step)
         train_step = make_sharded_device_train_step(
             mc, tx, mesh, shard_embeddings=shard_emb, reject_width=rw,
-            neg_pop=neg_pop, sparse_items=sparse_items, tc=tc)
+            neg_pop=neg_pop, sparse_items=sparse_items, tc=tc, logq=logq)
         scanned_step = (make_sharded_device_train_step(
                             mc, tx, mesh, shard_embeddings=shard_emb,
                             inner_steps=tc.inner_steps, reject_width=rw,
                             neg_pop=neg_pop, sparse_items=sparse_items,
-                            tc=tc)
+                            tc=tc, logq=logq)
                         if tc.inner_steps > 1 else None)
         eval_steps = {m: make_sharded_device_eval_step(
                           mc, tc.top_k, mesh, m, shard_embeddings=shard_emb,
@@ -703,17 +762,18 @@ def fit(
                                              make_sharded_train_step)
         train_step = make_sharded_train_step(
             mc, tx, mesh, shard_embeddings=shard_emb,
-            device_negatives=cfg.data.device_sampling)
+            device_negatives=cfg.data.device_sampling, tc=tc, logq=logq)
         eval_step = make_sharded_eval_step(mc, tc.top_k, mesh,
                                            shard_embeddings=shard_emb)
     elif dd is not None:
         train_step = make_device_train_step(mc, tx, reject_width=rw,
                                             neg_pop=neg_pop,
-                                            sparse_items=sparse_items, tc=tc)
+                                            sparse_items=sparse_items, tc=tc,
+                                            logq=logq)
         scanned_step = (make_scanned_device_train_step(
                             mc, tx, tc.inner_steps, reject_width=rw,
                             neg_pop=neg_pop, sparse_items=sparse_items,
-                            tc=tc)
+                            tc=tc, logq=logq)
                         if tc.inner_steps > 1 else None)
         eval_steps = {m: make_device_eval_step(mc, tc.top_k, m,
                                                reject_width=rw)
@@ -724,7 +784,7 @@ def fit(
                              if tc.inner_steps > 1 else None)
                          for m in ("val", "test")}
     else:
-        train_step = make_train_step(mc, tx)
+        train_step = make_train_step(mc, tx, tc=tc)
         eval_step = make_eval_step(mc, tc.top_k)
 
     start = datetime.now()

@@ -1,0 +1,66 @@
+"""Subprocess body for the 2-process multi-host test (test_multihost.py).
+
+Runs a real ``jax.distributed`` program: 2 CPU processes, 1 local device
+each, one global 2-device mesh, end-to-end ``fit()`` sharded over it.
+This is the pod execution model (SURVEY.md §2.3 multi-host row) exercised
+with actual process boundaries — collectives cross the Gloo transport,
+jit inputs must be globalized (``put_if_multiprocess``), and only process
+0 may touch the host observability surface.
+
+Usage: python multihost_runner.py <proc_id> <port> <out_dir> <mode>
+  mode: "host" (host batch pipeline + checkpointing) or
+        "device" (device pipeline + scanned dispatch, checkpoint off)
+Prints one ``RESULT {json}`` line on success.
+"""
+
+import json
+import sys
+
+
+def main() -> None:
+    proc_id, port, out_dir, mode = (int(sys.argv[1]), sys.argv[2],
+                                    sys.argv[3], sys.argv[4])
+    import jax
+
+    # must run before any backend use — the real-pod contract
+    # (parallel/mesh.py::initialize_distributed wraps this for the CLI)
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=proc_id)
+    assert jax.process_count() == 2, "distributed init fell back"
+    assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+
+    from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from carca_tpu.data.synthetic import synthetic_catalog
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=96, n_real_items=60, seed=5)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                     n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
+                     n_blocks=1, n_heads=2, dropout=0.0, decoder="ca")
+    dc = DataConfig(synthetic=True, device_pipeline=(mode == "device"))
+    tc = TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
+                     out_dir=out_dir, mesh_shape=(2,), mesh_axes=("data",),
+                     inner_steps=2 if mode == "device" else 8,
+                     checkpoint=(mode == "host"))
+    _, m = fit(Config(model=mc, data=dc, train=tc), cat)
+    print("RESULT " + json.dumps(
+        {"proc": proc_id,
+         "val_hr": m["val_hr"], "val_ndcg": m["val_ndcg"],
+         "test_ndcg": m["test_ndcg"], "epochs_run": m["epochs_run"]}),
+        flush=True)
+    sys.stdout.flush()
+    # Explicit shutdown + hard exit: leaving the distributed shutdown
+    # barrier to interpreter teardown is flaky — a leaked non-daemon
+    # thread (orbax async machinery / grpc) can stall one process's
+    # teardown past the 5-minute barrier deadline, and the coordination
+    # service then kills BOTH processes (observed ~50% of runs with both
+    # processes having already printed correct RESULTs). Reaching the
+    # barrier while both processes are still symmetric is deterministic.
+    import os
+
+    jax.distributed.shutdown()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
