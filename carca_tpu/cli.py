@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_retrieval", type=int, default=0,
                    help="after training, run full-catalog leave-one-out "
                         "retrieval eval at this top-k (dot/wdot decoders)")
+    p.add_argument("--eval_retrieval_every", type=int, default=0,
+                   help="also run the retrieval eval (val split) every N-th "
+                        "epoch DURING training and log retrieval_val_hr/ndcg "
+                        "to metrics.jsonl (0 = off; dot/wdot decoders)")
     p.add_argument("--retrieval_index", type=str, default="seen",
                    choices=("seen", "full"),
                    help="retrieval index: seen = items with >=1 training "
@@ -160,6 +164,7 @@ _PRESET_OVERLAY = {
         "checkpoint": "checkpoint",
         "sparse_items_adam": "sparse_items_adam",
         "loss": "loss", "n_train_negatives": "n_train_negatives",
+        "eval_retrieval_every": "eval_retrieval_every",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
@@ -267,6 +272,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         checkpoint_interval=args.checkpoint_interval,
         mesh_shape=mesh_shape, mesh_axes=mesh_axes,
         shard_embeddings=args.shard_embeddings,
+        eval_retrieval_every=args.eval_retrieval_every,
     )
     return Config(model=mc, data=dc, train=tc)
 

@@ -187,6 +187,12 @@ class TrainConfig:
     # step (~13 GB at 10M items); untouched rows skip moment decay — the
     # standard LazyAdam/SparseAdam trade. See train/sparse_adam.py.
     sparse_items_adam: Any = "auto"
+    # run full-catalog retrieval eval (val split, seen-items index) every
+    # N-th epoch during fit and log retrieval_val_hr/ndcg to metrics.jsonl.
+    # 0 = off. Dot-family decoders only; the sampled val eval is blind to
+    # the retrieval regime at extreme sparsity (docs/DESIGN.md §11), so
+    # retrieval deployments should monitor this curve directly.
+    eval_retrieval_every: int = 0
 
 
 @dataclass(frozen=True)

@@ -338,36 +338,23 @@ def evaluate_device(eval_step, params, attrs_table, arrays, users,
     return hr / total, ndcg / total, loss_sum / max(n_batches, 1)
 
 
-def evaluate_retrieval(
+def make_retrieval_evaluator(
     cfg: Config,
     catalog: Catalog,
-    params,
     mode: str = "test",
     k: Optional[int] = None,
     log: bool = True,
     seen_only: bool = True,
     quantized: bool = False,
-) -> Dict[str, float]:
-    """Leave-one-out evaluation against the FULL catalog (BASELINE
-    configs[4] protocol; no reference counterpart — its eval samples 100
-    negatives, src/data.py:140-192).
+) -> Callable[[Any], Dict[str, float]]:
+    """Build a reusable full-catalog retrieval evaluator: returns
+    ``run(params) -> {retrieval_{mode}_hr, retrieval_{mode}_ndcg}``.
 
-    For dot-family decoders: the catalog is embedded once, each user's held
-    -out item is ranked among all items (user's visible window excluded),
-    and HR@k/NDCG@k of its rank are averaged.
-
-    ``seen_only`` (default) indexes only items with ≥1 training event —
-    the production serving posture: items the model never saw carry random
-    embeddings whose extreme tail swamps real scores at extreme sparsity
-    (measured: 10M-item synthetic, 83% unseen — docs/DESIGN.md #11); a
-    real stack handles cold-start items by content, not by ranking noise.
-    Held-out positives are events, so the protocol stays well-defined.
-    ``seen_only=False`` ranks the entire id space.
-
-    ``quantized`` scores against the int8 serving index
-    (``ops/retrieval_topk.quantize_index``) instead of the float
-    embeddings — use it to measure the int8 recall delta on a trained
-    model at full scale (the serving posture with ``quantize="auto"``).
+    All params-independent work (seen-index row ids, the user batching,
+    the jitted embed/score closures) happens once at build time, so the
+    per-epoch monitoring path (``TrainConfig.eval_retrieval_every``) pays
+    no recompilation after the first epoch. ``evaluate_retrieval`` is the
+    one-shot wrapper. Semantics are documented there.
     """
     from carca_tpu.data.device_pipeline import DeviceDataset, _profile_slots
     from carca_tpu.ops.retrieval_topk import quantize_index
@@ -419,19 +406,19 @@ def evaluate_retrieval(
         seen = np.flatnonzero(counts[1:]) + 1  # never index the pad id
         row_ids = jnp.asarray(np.concatenate([[0], seen]), jnp.int32)
         index_note = f"{len(seen)}/{mc.n_items - 1} seen items"
-        attrs_rows = attrs_table[row_ids]
-        emb = jax.jit(lambda p, a: embed_catalog(
-            p, mc, a, global_ids=row_ids, out_dtype=emb_dtype))(
-                params, attrs_rows)
+        attrs_in = attrs_table[row_ids]
+        embed_fn = jax.jit(lambda p, a: embed_catalog(
+            p, mc, a, global_ids=row_ids, out_dtype=emb_dtype))
     else:
-        emb = jax.jit(lambda p, a: embed_catalog(
-            p, mc, a, out_dtype=emb_dtype))(params, attrs_table)
-    # decoder-space transform applied ONCE up front (it is per-row; the
-    # previous code re-applied it to the whole index inside every jitted
+        attrs_in = attrs_table
+        embed_fn = jax.jit(lambda p, a: embed_catalog(
+            p, mc, a, out_dtype=emb_dtype))
+    # decoder-space transform applied ONCE per index build (it is per-row;
+    # the previous code re-applied it to the whole index inside every jitted
     # eval batch — pure repeated HBM traffic for wdot+l2_norm indexes)
-    emb = jax.jit(lambda e: catalog_in_decoder_space(e, mc))(emb)
+    space_fn = jax.jit(lambda e: catalog_in_decoder_space(e, mc))
+    quant_fn = jax.jit(quantize_index) if quantized else None
     if quantized:
-        emb = jax.jit(quantize_index)(emb)
         index_note += ", int8"
 
     @jax.jit
@@ -455,20 +442,64 @@ def evaluate_retrieval(
     host_root = np.random.default_rng(tc.seed)
     if len(users) > cfg.data.eval_subsample:
         users = host_root.choice(users, cfg.data.eval_subsample, replace=False)
-    results = [
-        batch_metrics(params, attrs_table, emb, jnp.asarray(rows, jnp.int32))
-        for rows in epoch_batches(users, tc.batch_size, shuffle=False)
-    ]
-    hr = sum(float(h) for h, _, _ in results)
-    ndcg = sum(float(n) for _, n, _ in results)
-    total = sum(int(t) for _, _, t in results)
-    out = {f"retrieval_{mode}_hr": hr / max(total, 1),
-           f"retrieval_{mode}_ndcg": ndcg / max(total, 1)}
-    if tc.verbose and log:
-        print(f"Retrieval@{k} ({mode}, index: {index_note}): "
-              f"HR = {out[f'retrieval_{mode}_hr']:.4f}, "
-              f"NDCG = {out[f'retrieval_{mode}_ndcg']:.4f}")
-    return out
+    row_batches = [jnp.asarray(rows, jnp.int32)
+                   for rows in epoch_batches(users, tc.batch_size,
+                                             shuffle=False)]
+
+    def run(params) -> Dict[str, float]:
+        emb = space_fn(embed_fn(params, attrs_in))
+        if quant_fn is not None:
+            emb = quant_fn(emb)
+        results = [batch_metrics(params, attrs_table, emb, rows)
+                   for rows in row_batches]
+        hr = sum(float(h) for h, _, _ in results)
+        ndcg = sum(float(n) for _, n, _ in results)
+        total = sum(int(t) for _, _, t in results)
+        out = {f"retrieval_{mode}_hr": hr / max(total, 1),
+               f"retrieval_{mode}_ndcg": ndcg / max(total, 1)}
+        if tc.verbose and log:
+            print(f"Retrieval@{k} ({mode}, index: {index_note}): "
+                  f"HR = {out[f'retrieval_{mode}_hr']:.4f}, "
+                  f"NDCG = {out[f'retrieval_{mode}_ndcg']:.4f}")
+        return out
+
+    return run
+
+
+def evaluate_retrieval(
+    cfg: Config,
+    catalog: Catalog,
+    params,
+    mode: str = "test",
+    k: Optional[int] = None,
+    log: bool = True,
+    seen_only: bool = True,
+    quantized: bool = False,
+) -> Dict[str, float]:
+    """Leave-one-out evaluation against the FULL catalog (BASELINE
+    configs[4] protocol; no reference counterpart — its eval samples 100
+    negatives, src/data.py:140-192).
+
+    For dot-family decoders: the catalog is embedded once, each user's held
+    -out item is ranked among all items (user's visible window excluded),
+    and HR@k/NDCG@k of its rank are averaged.
+
+    ``seen_only`` (default) indexes only items with ≥1 training event —
+    the production serving posture: items the model never saw carry random
+    embeddings whose extreme tail swamps real scores at extreme sparsity
+    (measured: 10M-item synthetic, 83% unseen — docs/DESIGN.md #11); a
+    real stack handles cold-start items by content, not by ranking noise.
+    Held-out positives are events, so the protocol stays well-defined.
+    ``seen_only=False`` ranks the entire id space.
+
+    ``quantized`` scores against the int8 serving index
+    (``ops/retrieval_topk.quantize_index``) instead of the float
+    embeddings — use it to measure the int8 recall delta on a trained
+    model at full scale (the serving posture with ``quantize="auto"``).
+    """
+    return make_retrieval_evaluator(
+        cfg, catalog, mode=mode, k=k, log=log, seen_only=seen_only,
+        quantized=quantized)(params)
 
 
 def make_knn_eval_step(top_k: int) -> Callable:
@@ -799,6 +830,23 @@ def fit(
         if tc.verbose and log:
             print(line)
 
+    # per-epoch full-catalog retrieval monitoring (the sampled val eval is
+    # blind to the retrieval regime at extreme sparsity — docs/DESIGN.md
+    # §11); evaluator built ONCE so epochs after the first pay no compile
+    retrieval_eval = None
+    if tc.eval_retrieval_every:
+        if mc.decoder == "ca":
+            emit("note: eval_retrieval_every applies to the dot/wdot "
+                 "decoders; skipping retrieval monitoring")
+        elif jax.process_count() > 1:
+            raise ValueError(
+                "eval_retrieval_every is single-host (the retrieval "
+                "evaluator jits without mesh shardings); monitor retrieval "
+                "offline from the saved checkpoints on a pod")
+        else:
+            retrieval_eval = make_retrieval_evaluator(cfg, catalog,
+                                                      mode="val", log=False)
+
     best = keeper.best_metrics()["ndcg"] if (keeper and keeper.best_metrics()) else 0.0
     no_improve = 0
     best_in_memory = -1  # epoch whose improving save still matches `state`
@@ -936,6 +984,19 @@ def fit(
 
         final = {"val_hr": hr, "val_ndcg": ndcg, "val_loss": val_loss,
                  "epochs_run": epoch}
+        if retrieval_eval is not None and epoch % tc.eval_retrieval_every == 0:
+            t2 = time.perf_counter()
+            rmetrics = retrieval_eval(state.params)
+            now = datetime.now().strftime("%H:%M:%S")
+            emit(f"{now} - Epoch {epoch:03d}: Retrieval@{tc.top_k} (val) "
+                 f"HR = {rmetrics['retrieval_val_hr']:.4f}, "
+                 f"NDCG = {rmetrics['retrieval_val_ndcg']:.4f} "
+                 f"({time.perf_counter() - t2:.1f}s)")
+            if metrics_file:
+                metrics_file.write(json.dumps({"epoch": epoch, **rmetrics})
+                                   + "\n")
+                metrics_file.flush()
+            final.update(rmetrics)
         if no_improve >= tc.early_stop:
             emit(f"No improvement in {no_improve} epochs, early stopping...")
             break

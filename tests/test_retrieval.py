@@ -171,6 +171,47 @@ def test_evaluate_retrieval_end_to_end(tmp_path):
         evaluate_retrieval(cfg_ca, cat, state.params)
 
 
+def test_eval_retrieval_every_monitors_during_fit(tmp_path):
+    """TrainConfig.eval_retrieval_every runs the full-catalog retrieval
+    eval (val split) every N-th epoch inside fit and logs the curve to
+    metrics.jsonl (docs/DESIGN.md §11: the sampled val eval is blind to
+    the retrieval regime, so retrieval deployments monitor this
+    directly). No reference counterpart — its eval always samples 100
+    negatives (src/data.py:140-192)."""
+    import json as _json
+
+    from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+
+    cat = synthetic_catalog(n_users=150, n_real_items=120, seed=4)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=6, target_len=8, n_blocks=1,
+                     n_heads=2, dropout=0.1, decoder="dot")
+    cfg = Config(model=mc, data=DataConfig(synthetic=True),
+                 train=TrainConfig(batch_size=32, epochs=2, early_stop=5,
+                                   out_dir=str(tmp_path), seed=0, verbose=0,
+                                   eval_retrieval_every=1))
+    from carca_tpu.train.loop import fit
+    _, final = fit(cfg, cat, log=True)
+    assert 0.0 <= final["retrieval_val_hr"] <= 1.0
+    assert 0.0 <= final["retrieval_val_ndcg"] <= 1.0
+    with open(tmp_path / "metrics.jsonl") as f:
+        rows = [_json.loads(line) for line in f]
+    rrows = [r for r in rows if "retrieval_val_hr" in r]
+    assert [r["epoch"] for r in rrows] == [1, 2]
+
+    # ca decoder: monitoring is skipped with a note, not an error
+    cfg_ca = Config(
+        model=ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
+                          n_ctx=cat.n_ctx, d=16, g=32, seq_len=6,
+                          target_len=8, n_blocks=1, n_heads=2, decoder="ca"),
+        data=DataConfig(synthetic=True),
+        train=TrainConfig(batch_size=32, epochs=1, early_stop=5,
+                          out_dir=str(tmp_path / "ca"), seed=0, verbose=0,
+                          eval_retrieval_every=1))
+    _, final_ca = fit(cfg_ca, cat, log=False)
+    assert "retrieval_val_hr" not in final_ca
+
+
 def test_topk_rejects_k_beyond_catalog(setup):
     mc, params, profile, attrs = setup
     from carca_tpu.parallel.retrieval import (catalog_in_decoder_space,
