@@ -19,6 +19,17 @@ Used by ``carca_tpu.parallel.retrieval.full_catalog_topk`` on the
 single-device path and per-shard under ``shard_map`` on the row-sharded
 path (each shard streams only its rows; the cross-shard merge stays the
 O(shards·k) all-gather).
+
+Two methods (``catalog_topk(method=...)``): ``"stream"`` — the running
+top-k above; ``"tournament"`` — group-max + exact winner rerank
+(``_tournament_topk``), which replaces the k suppress rounds (the
+measured at-scale bottleneck, DESIGN §11d) with one lane-reduce per
+tile and returns top-k under TRUE f32 (HIGHEST-precision) scores.
+``"auto"`` routes on the measured row-count crossover. Precision note
+(measured, DESIGN §11d): on TPU the stream kernel and the XLA fallback
+score f32 catalogs with XLA's DEFAULT single bf16 pass (~2^-8
+relative); the tournament is the more accurate path, so methods may
+order near-bf16-ties differently on TPU (identically on CPU).
 """
 
 from __future__ import annotations
@@ -168,6 +179,181 @@ def _extract_topk_packed(key_ref, col0, k: int):
         (jnp.full((b, k), NEG_INF, jnp.float32), jnp.zeros((b, k), jnp.int32)))
 
 
+def _groupmax_kernel(chunk: int, group: int, lim_ref, q_ref, e_ref, *rest):
+    """Stage 1 of the tournament top-k: per grid step score one [B, C]
+    tile on the MXU and emit only the per-``group``-column maxima
+    [B, C/group] — one lane-reduce instead of the streaming kernel's
+    k·(2..6) suppress passes, which are the measured at-scale bottleneck
+    (module docstring / DESIGN §11b). Winner groups are reranked exactly
+    outside the kernel (``_tournament_topk``)."""
+    if len(rest) == 2:
+        scl_ref, gm_ref = rest
+    else:
+        scl_ref, (gm_ref,) = None, rest
+    j = pl.program_id(0)
+    b = q_ref.shape[0]
+    q = q_ref[:]  # [B, d]
+    e = e_ref[:]  # [C, d] — f32 / bf16 / int8
+    cd = jnp.bfloat16 if e.dtype == jnp.int8 else e.dtype
+    # scores TRANSPOSED ([C, B], catalog rows in sublanes): the group
+    # reduction then runs over sublanes and the [C/group, B] output block
+    # satisfies Mosaic's (8, 128)-divisible block constraint — a [B,
+    # C/group] block (C/group = 32 lanes per 4096-chunk) does not
+    # HIGHEST on f32: DEFAULT would score with a single bf16 pass
+    # (~2^-8 relative — measured 0.11 abs on N(0,1) d=64 dots); the
+    # tournament's contract is top-k under TRUE f32 scores, so both this
+    # selection stage and the rerank run f32 at HIGHEST. bf16 operands
+    # must NOT carry the flag — Mosaic rejects fp32 contract precision on
+    # bf16 lhs ("Bad lhs type"); their products are exact either way.
+    s = jax.lax.dot_general(
+        e.astype(cd), q.astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if cd == jnp.float32
+                   else None),
+    )  # [C, B]
+    if scl_ref is not None:
+        s = s * scl_ref[:]  # [C, 1] per-row dequantization scales
+    col0 = j * chunk
+    gids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    bad = (gids >= lim_ref[0]) | ((gids == 0) & (lim_ref[1] == 1))
+    s = jnp.where(bad, NEG_INF, s)
+    gm_ref[:] = jnp.max(s.reshape(chunk // group, group, b), axis=1)
+
+
+# Tournament-vs-stream crossover (measured on v5e, B=256, d=64, f32/
+# bf16/int8 x k=10/60 at 2^16..2^20 rows): the stream kernel's k-round
+# suppress is O(k*B*R) VPU passes, so the tournament's advantage grows
+# with R*k  -- >=1M rows it wins at every dtype/k (1.16-3.24x, still
+# growing); at 512k it wins for large k (k=60: 1.16-1.84x) but not
+# small; below that its fixed costs (group top-k, winner gather/rerank)
+# dominate. "auto" in catalog_topk routes on both row count and k.
+_TOURNAMENT_MIN_ROWS = 1_048_576
+_TOURNAMENT_MIN_ROWS_BIG_K = 524_288  # k >= 48: measured win at 2^19
+_GROUP = 128  # one VPU lane row per group max
+
+
+def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
+                     chunk: int, interpret: bool,
+                     group: int = _GROUP):
+    """Exact top-k via group-max tournament + winner rerank.
+
+    Stage 1 streams the catalog once and keeps only each 128-column
+    group's max score (``_groupmax_kernel``). Stage 2: ``lax.top_k`` over
+    the [B, R/128] maxima picks k winner groups per row — the union of
+    the top-k groups provably contains the true top-k (if an element of
+    the true top-k sat in an unpicked group, the k picked groups' maxima
+    would each strictly precede it in (value, first-occurrence) order —
+    k elements ahead of a top-k element, contradiction; lax.top_k's
+    lowest-index tie order makes this exact under ties too). Stage 3
+    re-scores the ≤ (k+8)·128 winner columns — same dtype and HIGHEST
+    precision as the selection kernel — and top-ks them; winner groups
+    are sorted ascending first so the final lax.top_k's first-occurrence
+    tie break matches global column order. Contract: exact top-k under
+    TRUE f32 scores of the (possibly bf16/int8-rounded) catalog — never
+    packs id bits into scores (unlike the stream bf16/int8 modes) and
+    never drops to DEFAULT's single bf16 pass (unlike the stream f32
+    mode ON TPU — module docstring precision note).
+    """
+    b, d = q.shape
+    r = catalog_emb.shape[0]
+    if b > 16384:
+        raise ValueError(
+            f"query batch {b} needs a >8 MB VMEM score tile even at the "
+            f"minimum 128-column chunk; split the query batch instead")
+    c_cap = max(group, (2_000_000 // max(b, 1)) // group * group)
+    c = min(chunk, c_cap, _round_up(r, group))
+    c = max(c // group * group, group)
+    rp = _round_up(r, c)
+    pad = rp - r
+    if pad:
+        catalog_emb = jnp.pad(catalog_emb, ((0, pad), (0, 0)))
+        if scales is not None:
+            scales = jnp.pad(scales, ((0, 0), (0, pad)))
+    id_offset = jnp.asarray(id_offset, jnp.int32)
+    lim0 = jnp.minimum(jnp.asarray(n_items, jnp.int32) - id_offset,
+                       jnp.asarray(r, jnp.int32))
+    lim = jnp.stack([lim0, (id_offset == 0).astype(jnp.int32)])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lim (2,)
+        pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [lim, q, catalog_emb]
+    if scales is not None:
+        # [1, R] → [R, 1] (a free reshape): the transposed score tile
+        # wants per-row scales down the sublane axis
+        in_specs.append(
+            pl.BlockSpec((c, 1), lambda j: (j, 0), memory_space=pltpu.VMEM))
+        args.append(scales.reshape(-1, 1))
+    n_groups = rp // group
+    gm = pl.pallas_call(
+        functools.partial(_groupmax_kernel, c, group),
+        grid=(rp // c,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((c // group, b), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_groups, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * rp * d,
+            bytes_accessed=(rp * d * catalog_emb.dtype.itemsize
+                            + b * d * q.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args).T  # [B, n_groups] per-group maxima
+
+    # +8 margin groups: kernel maxima and rerank scores agree to
+    # accumulation-order ulps (both HIGHEST); the margin makes a dropped
+    # boundary group require 8+ group maxima inside that ulp window.
+    # Exact ties are still exact: equal maxima order by group id on both
+    # sides (the containment proof in the docstring needs only that).
+    kg = min(k + 8, n_groups)
+    _, gi = jax.lax.top_k(gm, kg)      # ties → lowest group id first
+    gi = jnp.sort(gi, axis=1)          # restore global column order
+
+    # rerank the winner groups exactly, in memory-bounded slices: the
+    # gathered winner rows are [B, kc, group, d] per slice (the score
+    # output is tiny — only the gather is capacity-bound)
+    cat = catalog_emb.reshape(n_groups, group, d)
+    cd = jnp.bfloat16 if cat.dtype == jnp.int8 else cat.dtype
+    qc = q.astype(cd)
+    scl = scales[0].reshape(n_groups, group) if scales is not None else None
+    slice_bytes = b * group * d * cat.dtype.itemsize
+    kc = max(1, min(kg, (128 << 20) // max(slice_bytes, 1)))
+    ns = -(-kg // kc)
+    gpad = ns * kc - kg
+    gi_p = jnp.pad(gi, ((0, 0), (0, gpad)))  # dup-padded; masked below
+
+    def score_slice(gis):  # [B, kc] group ids → [B, kc, group] scores
+        rows = cat[gis]                          # [B, kc, group, d]
+        s = jnp.einsum("bd,bkgd->bkg", qc, rows.astype(cd),
+                       preferred_element_type=jnp.float32,
+                       precision=(jax.lax.Precision.HIGHEST
+                                  if cd == jnp.float32 else None))
+        if scl is not None:
+            s = s * scl[gis]
+        return s
+
+    if ns == 1:
+        s2 = score_slice(gi_p)
+    else:
+        s2 = jax.lax.map(score_slice,
+                         jnp.moveaxis(gi_p.reshape(b, ns, kc), 1, 0))
+        s2 = jnp.moveaxis(s2, 0, 1).reshape(b, ns * kc, group)
+
+    lids = gi_p[:, :, None] * group + jnp.arange(group, dtype=jnp.int32)
+    pad_slot = (jnp.arange(ns * kc, dtype=jnp.int32) >= kg)[None, :, None]
+    bad = (pad_slot | (lids >= lim0)
+           | ((lids == 0) & (id_offset == 0)))
+    s2 = jnp.where(bad, NEG_INF, s2).reshape(b, ns * kc * group)
+    lids = lids.reshape(b, ns * kc * group)
+    v, sel = jax.lax.top_k(s2, k)
+    cols = jnp.take_along_axis(lids, sel, axis=1)
+    return v, jnp.where(v > NEG_INF, cols + id_offset, 0)
+
+
 def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, *rest):
     # lim_ref (SMEM int32[2]): [n_valid_local, mask_row0] — runtime scalars
     # so a shard_map shard can pass its traced offset window.
@@ -256,6 +442,7 @@ def catalog_topk(
     id_offset=0,
     chunk: int = 4096,
     interpret: Optional[bool] = None,
+    method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(values [B,k], global item ids [B,k]) = top-k of q · catalog_embᵀ.
 
@@ -271,6 +458,12 @@ def catalog_topk(
     may differ between paths at bf16 (exact parity is guaranteed, and
     tested, at fp32). A ``QuantizedIndex`` quarters the scan (int8 rows +
     per-row scales applied to the score tile).
+
+    ``method``: "stream" = the running-top-k kernel above; "tournament" =
+    group-max + exact winner rerank (``_tournament_topk`` — value-exact
+    ``lax.top_k`` parity for every dtype, and the fast path at scale:
+    the stream kernel's k suppress rounds are its measured bottleneck);
+    "auto" routes on the measured row-count crossover.
     """
     scales = None
     if isinstance(catalog_emb, QuantizedIndex):
@@ -280,6 +473,16 @@ def catalog_topk(
     n_items = n_items if n_items is not None else id_offset + r
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if method not in ("auto", "stream", "tournament"):
+        raise ValueError(f"method must be auto|stream|tournament, "
+                         f"got {method!r}")
+    if method == "auto":
+        big = r >= (_TOURNAMENT_MIN_ROWS_BIG_K if k >= 48
+                    else _TOURNAMENT_MIN_ROWS)
+        method = "tournament" if big and r >= 2 * _GROUP else "stream"
+    if method == "tournament":
+        return _tournament_topk(q, catalog_emb, scales, k, n_items,
+                                id_offset, chunk, interpret)
 
     # the [B, C] fp32 score scratch must fit scoped VMEM (16 MB) next to
     # the [C, d] catalog tile — cap the chunk so ~8 MB goes to the scratch

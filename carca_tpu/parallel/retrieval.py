@@ -165,6 +165,7 @@ def topk_given_queries(
     use_kernel: bool = True,
     in_decoder_space: bool = False,
     row_ids: Optional[jnp.ndarray] = None,
+    method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-device top-k of precomputed queries [B, d] against precomputed
     catalog embeddings [R, d] (rows aligned with item ids; pad rows beyond
@@ -203,7 +204,7 @@ def topk_given_queries(
     if use_kernel:
         kk = min(k + (exclude.shape[1] if exclude is not None else 0), rows)
         from carca_tpu.ops.retrieval_topk import catalog_topk
-        v, rid = catalog_topk(q, e, kk, n_items=n_local)
+        v, rid = catalog_topk(q, e, kk, n_items=n_local, method=method)
         if row_ids is not None:
             rid = row_ids[rid]
         if exclude is None:  # then kk == k — nothing to re-rank
@@ -231,6 +232,7 @@ def full_catalog_topk(
     exclude: Optional[jnp.ndarray] = None,
     catalog_emb: Optional[jnp.ndarray] = None,
     use_kernel: bool = True,
+    method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k items over the whole catalog: (scores [B,k], item ids [B,k]).
 
@@ -266,7 +268,7 @@ def full_catalog_topk(
             global_ids=jnp.arange(attrs_table.shape[0], dtype=jnp.int32))
         return topk_given_queries(
             q, e, cfg, k, exclude=exclude if had_exclude else None,
-            use_kernel=use_kernel,
+            use_kernel=use_kernel, method=method,
             # a quantized index is decoder-space by construction
             in_decoder_space=isinstance(e, QuantizedIndex))
 
@@ -298,7 +300,7 @@ def full_catalog_topk(
         if use_kernel:
             from carca_tpu.ops.retrieval_topk import catalog_topk
             v, cand_ids = catalog_topk(q, e, kk, n_items=cfg.n_items,
-                                       id_offset=lo)
+                                       id_offset=lo, method=method)
         else:
             mask_ids = jnp.where(gids < cfg.n_items, gids, 0)  # pad rows → 0
             s = _masked_scores(q, e, mask_ids, exclude)
@@ -337,6 +339,7 @@ def topk_given_queries_sharded(
     exclude: Optional[jnp.ndarray] = None,
     row_ids: Optional[jnp.ndarray] = None,
     use_kernel: bool = True,
+    method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """`topk_given_queries` over a PRECOMPUTED index row-sharded on the
     ``model`` mesh axis — the serving counterpart of ``full_catalog_topk``'s
@@ -383,7 +386,7 @@ def topk_given_queries_sharded(
         if use_kernel:
             from carca_tpu.ops.retrieval_topk import catalog_topk
             v, rid = catalog_topk(q, eloc, kk_local, n_items=n_local,
-                                  id_offset=lo)
+                                  id_offset=lo, method=method)
         else:
             from carca_tpu.ops.retrieval_topk import dequantize_index
             ef = (dequantize_index(eloc) if scales_shard is not None

@@ -98,13 +98,25 @@ def main() -> None:
         sync(eq.scales)
         quant_legs = [("kernel_int8", eq)]
 
-    for use_kernel, name, emb in (
-            [(uk, "kernel" if uk else "xla", e) for uk in legs]
-            + [(True, n, em) for n, em in quant_legs]):
+    # each kernel leg runs twice: method="auto" (the production route —
+    # tournament at scale) and method="stream" (the running-top-k kernel)
+    # so the tournament-vs-stream crossover stays measured
+    kernel_legs = []
+    for uk in legs:
+        if not uk:
+            kernel_legs.append((False, "auto", "xla", e))
+            continue
+        kernel_legs.append((True, "auto", "kernel", e))
+        kernel_legs.append((True, "stream", "kernel_stream", e))
+    for n, em in quant_legs:
+        kernel_legs.append((True, "auto", n, em))
+        kernel_legs.append((True, "stream", n + "_stream", em))
+
+    for use_kernel, method, name, emb in kernel_legs:
         topk = jax.jit(
-            lambda p, prof, a, emb: full_catalog_topk(
-                p, mc, prof, a, args.k, catalog_emb=emb,
-                use_kernel=use_kernel))
+            lambda p, prof, a, emb, uk=use_kernel, m=method:
+            full_catalog_topk(p, mc, prof, a, args.k, catalog_emb=emb,
+                              use_kernel=uk, method=m))
         v, ids = topk(params, profile, attrs, emb)
         sync(ids)
 
@@ -115,9 +127,9 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results[name] = args.steps * b / dt
 
-    results.setdefault("xla", 0.0)
-    results.setdefault("kernel", 0.0)
-    results.setdefault("kernel_int8", 0.0)
+    for n in ("xla", "kernel", "kernel_stream", "kernel_int8",
+              "kernel_int8_stream"):
+        results.setdefault(n, 0.0)
     # headline = the best EXACT (f32/bf16) leg; the approximate int8 leg
     # stays its own labeled field so the single headline number never
     # silently mixes exact and quantized retrieval modes across runs
@@ -130,7 +142,10 @@ def main() -> None:
         "unit": "candidates/sec/chip",
         "headline_leg": headline_leg,
         "queries_per_sec_kernel": round(results["kernel"], 1),
+        "queries_per_sec_kernel_stream": round(results["kernel_stream"], 1),
         "queries_per_sec_kernel_int8": round(results["kernel_int8"], 1),
+        "queries_per_sec_kernel_int8_stream":
+            round(results["kernel_int8_stream"], 1),
         "queries_per_sec_xla": round(results["xla"], 1),
         "catalog_items": args.items,
         "catalog_embed_seconds": round(t_embed, 3),

@@ -100,6 +100,89 @@ def test_kernel_topk_matches_lax_topk():
             np.testing.assert_array_equal(np.asarray(ids[bi]), order + off)
 
 
+def test_tournament_topk_matches_lax_topk():
+    """Tournament method ≡ jax.lax.top_k: values, ids, and tie order, for
+    f32 / bf16 / int8 catalogs, with and without shard offsets, including
+    catalogs that are not multiples of the group width."""
+    from carca_tpu.ops.retrieval_topk import catalog_topk, quantize_index
+    rng = np.random.default_rng(7)
+    for r, b, d, k, off in [(1000, 8, 16, 10, 0), (517, 4, 32, 7, 0),
+                            (777, 8, 16, 5, 777), (4096, 4, 16, 12, 0)]:
+        q = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        e = jnp.asarray(rng.normal(size=(r, d)), jnp.float32)
+        v, ids = catalog_topk(q, e, k, n_items=off + r, id_offset=off,
+                              chunk=256, method="tournament")
+        s = np.array(jnp.einsum("bd,rd->br", q, e))
+        if off == 0:
+            s[:, 0] = -np.inf  # pad id
+        for bi in range(b):
+            order = np.argsort(-s[bi], kind="stable")[:k]
+            np.testing.assert_allclose(np.asarray(v[bi]), s[bi][order],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(ids[bi]), order + off)
+
+    # quantized index: tournament ≡ stream kernel's top-k SET on the same
+    # int8 scores (tournament scores are exact f32-accumulated; the stream
+    # packed mode truncates — compare against the dequantized brute force)
+    from carca_tpu.ops.retrieval_topk import dequantize_index
+    e = jnp.asarray(rng.normal(size=(900, 16)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    qi = quantize_index(e)
+    v, ids = catalog_topk(q, qi, 9, method="tournament")
+    sd = np.array(jnp.einsum(
+        "bd,rd->br", q.astype(jnp.bfloat16),
+        qi.qvals.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32) * qi.scales[0][None, :])
+    sd[:, 0] = -np.inf
+    for bi in range(4):
+        order = np.argsort(-sd[bi], kind="stable")[:9]
+        np.testing.assert_allclose(np.asarray(v[bi]), sd[bi][order],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ids[bi]), order)
+
+
+def test_tournament_topk_exact_under_ties():
+    """Crafted cross-group ties: integer-valued scores exact in f32, many
+    duplicates straddling group boundaries — tournament must reproduce
+    lax.top_k's first-occurrence order exactly."""
+    from carca_tpu.ops.retrieval_topk import catalog_topk
+    rng = np.random.default_rng(11)
+    r, d, b, k = 1500, 4, 6, 8
+    # embeddings whose dots take few distinct integer values → heavy ties
+    e = jnp.asarray(rng.integers(0, 3, (r, d)), jnp.float32)
+    q = jnp.asarray(rng.integers(0, 3, (b, d)), jnp.float32)
+    v, ids = catalog_topk(q, e, k, chunk=256, method="tournament")
+    s = np.array(np.asarray(q) @ np.asarray(e).T)
+    s[:, 0] = -np.inf
+    for bi in range(b):
+        order = np.argsort(-s[bi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(v[bi]), s[bi][order])
+        np.testing.assert_array_equal(np.asarray(ids[bi]), order)
+
+
+def test_tournament_topk_sharded_and_in_pipeline(setup):
+    """method='tournament' slots into topk_given_queries (exclusions,
+    row_ids compaction) with identical results to the stream kernel."""
+    mc, params, profile, attrs = setup
+    from carca_tpu.parallel.retrieval import queries, topk_given_queries
+    q = queries(params, mc, profile, attrs)
+    e = embed_catalog(params, mc, attrs)
+    exclude = jnp.asarray(
+        np.random.default_rng(5).integers(1, mc.n_items, (8, 4)), jnp.int32)
+    import carca_tpu.ops.retrieval_topk as rt
+    v0, i0 = topk_given_queries(q, e, mc, 6, exclude=exclude,
+                                use_kernel=False)
+    old = rt._TOURNAMENT_MIN_ROWS
+    rt._TOURNAMENT_MIN_ROWS = 1  # force the tournament at toy scale
+    try:
+        v1, i1 = topk_given_queries(q, e, mc, 6, exclude=exclude)
+    finally:
+        rt._TOURNAMENT_MIN_ROWS = old
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
 def test_full_catalog_topk_kernel_equals_xla(setup):
     mc, params, profile, attrs = setup
     k = 10
@@ -210,6 +293,53 @@ def test_eval_retrieval_every_monitors_during_fit(tmp_path):
                           eval_retrieval_every=1))
     _, final_ca = fit(cfg_ca, cat, log=False)
     assert "retrieval_val_hr" not in final_ca
+
+
+def test_select_by_retrieval_retains_peak_epoch(tmp_path):
+    """select_by=retrieval_hr keys best-checkpoint retention on the
+    monitored full-catalog metric: the retained epoch must be the first
+    argmax of the logged retrieval_val_hr curve (strict-improvement
+    semantics), not the sampled-NDCG peak. config.py rationale: at
+    extreme sparsity the two curves disagree violently (DESIGN §11)."""
+    import json as _json
+
+    from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from carca_tpu.train.checkpoint import CheckpointKeeper
+    from carca_tpu.train.loop import fit
+
+    cat = synthetic_catalog(n_users=150, n_real_items=120, seed=4)
+    mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs, n_ctx=cat.n_ctx,
+                     d=16, g=32, seq_len=6, target_len=8, n_blocks=1,
+                     n_heads=2, dropout=0.1, decoder="dot")
+    cfg = Config(model=mc, data=DataConfig(synthetic=True),
+                 train=TrainConfig(batch_size=32, epochs=3, early_stop=5,
+                                   out_dir=str(tmp_path), seed=0, verbose=0,
+                                   eval_retrieval_every=1,
+                                   select_by="retrieval_hr"))
+    fit(cfg, cat, log=True)
+    with open(tmp_path / "metrics.jsonl") as f:
+        rows = [_json.loads(line) for line in f]
+    curve = {r["epoch"]: r["retrieval_val_hr"] for r in rows
+             if "retrieval_val_hr" in r}
+    assert len(curve) == 3
+    peak_epoch = max(sorted(curve), key=lambda e: (curve[e], -e))
+    keeper = CheckpointKeeper(str(tmp_path / "ckpt"))
+    try:
+        m = keeper.best_metrics()
+    finally:
+        keeper.close()
+    assert m["select_by"] == "retrieval_hr"
+    assert m["epoch"] == peak_epoch
+    assert m["select"] == curve[peak_epoch]
+
+    # misconfiguration: retrieval selection without monitoring must raise
+    import pytest as _pytest
+    bad = Config(model=mc, data=DataConfig(synthetic=True),
+                 train=TrainConfig(batch_size=32, epochs=1,
+                                   out_dir=str(tmp_path / "x"),
+                                   select_by="retrieval_hr"))
+    with _pytest.raises(ValueError, match="eval_retrieval_every"):
+        fit(bad, cat, log=False)
 
 
 def test_topk_rejects_k_beyond_catalog(setup):
