@@ -141,6 +141,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also run the retrieval eval (val split) every N-th "
                         "epoch DURING training and log retrieval_val_hr/ndcg "
                         "to metrics.jsonl (0 = off; dot/wdot decoders)")
+    p.add_argument("--select_by", type=str, default="ndcg",
+                   choices=("ndcg", "retrieval_hr", "retrieval_ndcg"),
+                   help="best-checkpoint retention metric: ndcg = sampled "
+                        "val NDCG (reference rule); retrieval_* = the "
+                        "monitored full-catalog metric (needs "
+                        "--eval_retrieval_every)")
     p.add_argument("--retrieval_index", type=str, default="seen",
                    choices=("seen", "full"),
                    help="retrieval index: seen = items with >=1 training "
@@ -165,6 +171,7 @@ _PRESET_OVERLAY = {
         "sparse_items_adam": "sparse_items_adam",
         "loss": "loss", "n_train_negatives": "n_train_negatives",
         "eval_retrieval_every": "eval_retrieval_every",
+        "select_by": "select_by",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
@@ -273,6 +280,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         mesh_shape=mesh_shape, mesh_axes=mesh_axes,
         shard_embeddings=args.shard_embeddings,
         eval_retrieval_every=args.eval_retrieval_every,
+        select_by=args.select_by,
     )
     return Config(model=mc, data=dc, train=tc)
 

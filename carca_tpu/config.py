@@ -193,6 +193,16 @@ class TrainConfig:
     # the retrieval regime at extreme sparsity (docs/DESIGN.md §11), so
     # retrieval deployments should monitor this curve directly.
     eval_retrieval_every: int = 0
+    # best-checkpoint selection metric: "ndcg" = sampled val NDCG@k (the
+    # reference's retention rule, src/train.py:114-124); "retrieval_hr" /
+    # "retrieval_ndcg" = the monitored full-catalog metric — requires
+    # eval_retrieval_every >= 1 and a dot-family decoder. At extreme
+    # sparsity the two disagree violently (retrieval peaks epochs before
+    # sampled NDCG — DESIGN §11), so retrieval deployments should select
+    # on what they serve. With eval_retrieval_every > 1 the improvement /
+    # early-stop decision only advances on monitored epochs; scale
+    # early_stop accordingly.
+    select_by: str = "ndcg"
 
 
 @dataclass(frozen=True)

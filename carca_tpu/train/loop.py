@@ -834,8 +834,15 @@ def fit(
     # blind to the retrieval regime at extreme sparsity — docs/DESIGN.md
     # §11); evaluator built ONCE so epochs after the first pay no compile
     retrieval_eval = None
+    if tc.select_by not in ("ndcg", "retrieval_hr", "retrieval_ndcg"):
+        raise ValueError(f"TrainConfig.select_by must be ndcg|retrieval_hr|"
+                         f"retrieval_ndcg, got {tc.select_by!r}")
     if tc.eval_retrieval_every:
         if mc.decoder == "ca":
+            if tc.select_by != "ndcg":
+                raise ValueError("select_by=retrieval_* needs a dot-family "
+                                 "decoder (the ca decoder has no retrieval "
+                                 "index)")
             emit("note: eval_retrieval_every applies to the dot/wdot "
                  "decoders; skipping retrieval monitoring")
         elif jax.process_count() > 1:
@@ -846,8 +853,23 @@ def fit(
         else:
             retrieval_eval = make_retrieval_evaluator(cfg, catalog,
                                                       mode="val", log=False)
+    if tc.select_by != "ndcg" and retrieval_eval is None:
+        raise ValueError(
+            f"select_by={tc.select_by!r} selects on the monitored "
+            "full-catalog metric — set eval_retrieval_every >= 1")
 
-    best = keeper.best_metrics()["ndcg"] if (keeper and keeper.best_metrics()) else 0.0
+    def selection_value(m: Dict[str, float]) -> float:
+        """The retained-checkpoint comparison metric from a keeper/epoch
+        metrics dict (resume must compare apples to apples: a best/
+        checkpoint retained under a DIFFERENT select_by restarts the
+        comparison from 0 rather than inheriting its score)."""
+        if tc.select_by == "ndcg":
+            return m["ndcg"]
+        if m.get("select_by") == tc.select_by:
+            return m["select"]
+        return 0.0
+
+    best = selection_value(keeper.best_metrics()) if (keeper and keeper.best_metrics()) else 0.0
     no_improve = 0
     best_in_memory = -1  # epoch whose improving save still matches `state`
     final: Dict[str, float] = {}
@@ -950,22 +972,6 @@ def fit(
                 tc.batch_size, ep_rng, "val")
         dt_eval = time.perf_counter() - t1
 
-        improved = ndcg > best
-        if improved:
-            best, no_improve = ndcg, 0
-            best_in_memory = epoch
-            if keeper is not None:
-                keeper.save(epoch, state, {"ndcg": ndcg, "hr": hr, "epoch": epoch})
-        else:
-            no_improve += 1
-        # resume point (full state incl. optimizer moments) on its own
-        # cadence — best/ is params-only, so it can't serve as one. The
-        # first epoch always saves so a fresh run never has a zero-resume
-        # window (interval=10 would otherwise leave epochs 1-9 unprotected)
-        if keeper is not None and (epoch % max(tc.checkpoint_interval, 1) == 0
-                                   or epoch == start_epoch):
-            keeper.save_latest(epoch, state)
-
         now = datetime.now().strftime("%H:%M:%S")
         emit(f"{now} - Epoch {epoch:03d}: Val Loss = {val_loss:.4f} "
              f"HR = {hr:.4f}, NDCG = {ndcg:.4f}")
@@ -984,6 +990,7 @@ def fit(
 
         final = {"val_hr": hr, "val_ndcg": ndcg, "val_loss": val_loss,
                  "epochs_run": epoch}
+        rmetrics = None
         if retrieval_eval is not None and epoch % tc.eval_retrieval_every == 0:
             t2 = time.perf_counter()
             rmetrics = retrieval_eval(state.params)
@@ -997,6 +1004,36 @@ def fit(
                                    + "\n")
                 metrics_file.flush()
             final.update(rmetrics)
+
+        # retained-checkpoint decision (src/train.py:114-124 semantics;
+        # tc.select_by optionally keys it on the monitored retrieval
+        # metric instead of sampled NDCG — config.py rationale). With
+        # eval_retrieval_every > 1, retrieval-selected runs only decide
+        # on monitored epochs.
+        if tc.select_by == "ndcg":
+            candidate = ndcg
+        else:
+            candidate = (rmetrics[f"retrieval_val{tc.select_by[9:]}"]
+                         if rmetrics is not None else None)
+        if candidate is not None:
+            if candidate > best:
+                best, no_improve = candidate, 0
+                best_in_memory = epoch
+                if keeper is not None:
+                    m = {"ndcg": ndcg, "hr": hr, "epoch": epoch}
+                    if tc.select_by != "ndcg":
+                        m.update(select=candidate, select_by=tc.select_by,
+                                 **rmetrics)
+                    keeper.save(epoch, state, m)
+            else:
+                no_improve += 1
+        # resume point (full state incl. optimizer moments) on its own
+        # cadence — best/ is params-only, so it can't serve as one. The
+        # first epoch always saves so a fresh run never has a zero-resume
+        # window (interval=10 would otherwise leave epochs 1-9 unprotected)
+        if keeper is not None and (epoch % max(tc.checkpoint_interval, 1) == 0
+                                   or epoch == start_epoch):
+            keeper.save_latest(epoch, state)
         if no_improve >= tc.early_stop:
             emit(f"No improvement in {no_improve} epochs, early stopping...")
             break
