@@ -198,7 +198,7 @@ def _groupmax_kernel(chunk: int, group: int, lim_ref, q_ref, e_ref, *rest):
     # scores TRANSPOSED ([C, B], catalog rows in sublanes): the group
     # reduction then runs over sublanes and the [C/group, B] output block
     # satisfies Mosaic's (8, 128)-divisible block constraint — a [B,
-    # C/group] block (C/group = 32 lanes per 4096-chunk) does not
+    # C/group] block (C/group = 32 lanes per 4096-chunk) does not.
     # HIGHEST on f32: DEFAULT would score with a single bf16 pass
     # (~2^-8 relative — measured 0.11 abs on N(0,1) d=64 dots); the
     # tournament's contract is top-k under TRUE f32 scores, so both this

@@ -27,6 +27,14 @@ from typing import Any, Dict, Optional, Tuple
 import orbax.checkpoint as ocp
 
 
+def _selection_metric(metrics: Dict[str, Any]) -> float:
+    """The value ``fit`` compared when it decided to save: ``select``
+    (present only under ``select_by=retrieval_*``) else sampled ndcg.
+    Module-level (not a lambda) so orbax's retention and the sidecar
+    gate provably share one definition."""
+    return metrics.get("select", metrics["ndcg"])
+
+
 class CheckpointKeeper:
     def __init__(self, directory: str):
         directory = os.path.abspath(directory)
@@ -38,11 +46,17 @@ class CheckpointKeeper:
         # "Barrier ThreadSaveMultiHostValueHolder:set_value_start is
         # already ongoing" (caught by tests/test_multihost.py). Harmless
         # single-process (barriers are no-ops there).
+        # Retention keys on the metric fit() actually selected on: under
+        # select_by=retrieval_* the saved metrics carry a "select" entry
+        # (loop.py) and orbax must garbage-collect by IT, not by sampled
+        # ndcg — keying on ndcg reloads the wrong checkpoint exactly when
+        # the two curves diverge, which is the only regime the flag exists
+        # for (config.py select_by rationale; bug found in round 3).
         self._best = ocp.CheckpointManager(
             os.path.join(directory, "best"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=1,
-                best_fn=lambda metrics: metrics["ndcg"],
+                best_fn=_selection_metric,
                 best_mode="max",
                 multiprocessing_options=ocp.options.MultiprocessingOptions(
                     barrier_sync_key_prefix="best"),
@@ -73,7 +87,8 @@ class CheckpointKeeper:
         # sidecar must not race).
         import jax
         if jax.process_index() == 0 and (
-                prev is None or metrics["ndcg"] >= prev["ndcg"]):
+                prev is None
+                or _selection_metric(metrics) >= _selection_metric(prev)):
             import json
             with open(os.path.join(self._best.directory, "metrics.json"),
                       "w") as fh:

@@ -55,6 +55,61 @@ def test_state_roundtrip_and_best_retention(tmp_path):
     keeper.close()
 
 
+def test_retention_keys_on_select_when_curves_diverge(tmp_path):
+    """Round-3 confirmed bug: orbax retention was hardwired to
+    ``metrics["ndcg"]``, so under ``select_by=retrieval_*`` a
+    retrieval-improving save with LOWER sampled NDCG was garbage-collected
+    and ``restore_best``/``best_metrics`` returned the NDCG-best epoch —
+    precisely the divergent-curves regime the flag exists for (config.py
+    select_by rationale). Retention and the metrics.json sidecar must key
+    on the saved comparison metric (``select`` when present)."""
+    import dataclasses
+    import json
+
+    @dataclasses.dataclass
+    class _State:
+        params: dict
+
+        def replace(self, **kw):
+            return dataclasses.replace(self, **kw)
+
+    def _params(v):
+        return {"w": np.full((2, 2), v, np.float32)}
+
+    keeper = CheckpointKeeper(str(tmp_path / "div"))
+    try:
+        # ndcg falls .9 → .5 while the selection metric rises .1 → .2:
+        # fit() saved both because ITS comparison (select) improved.
+        keeper.save(1, _State(_params(1.0)),
+                    {"ndcg": 0.9, "hr": 0.9, "epoch": 1,
+                     "select": 0.1, "select_by": "retrieval_hr"})
+        keeper.save(2, _State(_params(2.0)),
+                    {"ndcg": 0.5, "hr": 0.5, "epoch": 2,
+                     "select": 0.2, "select_by": "retrieval_hr"})
+        m = keeper.best_metrics()
+        assert m["epoch"] == 2 and m["select"] == 0.2
+        step, restored = keeper.restore_best(_State(_params(0.0)))
+        assert step == 2
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.full((2, 2), 2.0, np.float32))
+        side = json.load(
+            open(str(tmp_path / "div" / "best" / "metrics.json")))
+        assert side["epoch"] == 2 and side["select"] == 0.2
+    finally:
+        keeper.close()
+
+    # plain-ndcg runs (no "select" key) keep the reference retention rule
+    keeper = CheckpointKeeper(str(tmp_path / "ndcg"))
+    try:
+        keeper.save(1, _State(_params(1.0)), {"ndcg": 0.9, "hr": 0.9,
+                                              "epoch": 1})
+        keeper.save(2, _State(_params(2.0)), {"ndcg": 0.5, "hr": 0.5,
+                                              "epoch": 2})
+        assert keeper.best_metrics()["epoch"] == 1
+    finally:
+        keeper.close()
+
+
 def test_fit_resumes_mid_run(tmp_path):
     out = str(tmp_path / "resume_run")
     cat, cfg2 = _cfg(out, epochs=2)
