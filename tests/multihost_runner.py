@@ -8,8 +8,12 @@ jit inputs must be globalized (``put_if_multiprocess``), and only process
 0 may touch the host observability surface.
 
 Usage: python multihost_runner.py <proc_id> <port> <out_dir> <mode>
-  mode: "host" (host batch pipeline + checkpointing) or
-        "device" (device pipeline + scanned dispatch, checkpoint off)
+  mode: "host" (host batch pipeline + checkpointing),
+        "device" (device pipeline + scanned dispatch, checkpoint off), or
+        "sharded" (2 devices per process, (2,2) model x data mesh with
+        row-sharded tables — the 'model' axis is MAJOR in device order, so
+        its groups pair device i of process 0 with device i of process 1
+        and the shard_map lookup gather+psum crosses the process boundary)
 Prints one ``RESULT {json}`` line on success.
 """
 
@@ -27,7 +31,9 @@ def main() -> None:
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=2, process_id=proc_id)
     assert jax.process_count() == 2, "distributed init fell back"
-    assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+    n_local = 2 if mode == "sharded" else 1
+    assert len(jax.devices()) == 2 * n_local
+    assert len(jax.local_devices()) == n_local
 
     from carca_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
     from carca_tpu.data.synthetic import synthetic_catalog
@@ -37,17 +43,45 @@ def main() -> None:
     mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
                      n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
                      n_blocks=1, n_heads=2, dropout=0.0, decoder="ca")
-    dc = DataConfig(synthetic=True, device_pipeline=(mode == "device"))
-    tc = TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
-                     out_dir=out_dir, mesh_shape=(2,), mesh_axes=("data",),
-                     inner_steps=2 if mode == "device" else 8,
-                     checkpoint=(mode == "host"))
-    _, m = fit(Config(model=mc, data=dc, train=tc), cat)
-    print("RESULT " + json.dumps(
-        {"proc": proc_id,
-         "val_hr": m["val_hr"], "val_ndcg": m["val_ndcg"],
-         "test_ndcg": m["test_ndcg"], "epochs_run": m["epochs_run"]}),
-        flush=True)
+    dc = DataConfig(synthetic=True,
+                    device_pipeline=(mode in ("device", "sharded")))
+    if mode == "sharded":
+        tc = TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
+                         out_dir=out_dir, mesh_shape=(2, 2),
+                         mesh_axes=("model", "data"), shard_embeddings=True,
+                         inner_steps=2, checkpoint=False)
+    else:
+        tc = TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
+                         out_dir=out_dir, mesh_shape=(2,), mesh_axes=("data",),
+                         inner_steps=2 if mode == "device" else 8,
+                         checkpoint=(mode == "host"))
+    state, m = fit(Config(model=mc, data=dc, train=tc), cat)
+    result = {"proc": proc_id,
+              "val_hr": m["val_hr"], "val_ndcg": m["val_ndcg"],
+              "test_ndcg": m["test_ndcg"], "epochs_run": m["epochs_run"]}
+    if mode == "sharded":
+        # prove the items table really is row-sharded over the
+        # cross-process 'model' axis: each process holds half the rows,
+        # and a model-axis group spans both processes
+        from carca_tpu.parallel.mesh import _is_table_path
+        tables = [leaf for path, leaf in
+                  jax.tree_util.tree_leaves_with_path(state.params)
+                  if _is_table_path(path) and getattr(leaf, "ndim", 0) == 2]
+        assert tables, "no items table found in params"
+        tab = tables[0]
+        assert "model" in str(tab.sharding.spec), tab.sharding
+        # with 'model' MAJOR, this process's two local devices hold the
+        # SAME half of the row space (they differ along 'data'); the other
+        # half lives only on the peer process, so every lookup's
+        # gather+psum crossed the transport. The test asserts the two
+        # processes report different row windows.
+        row_starts = sorted({s.index[0].start or 0
+                             for s in tab.addressable_shards})
+        row_rows = sorted({s.data.shape[0] for s in tab.addressable_shards})
+        result["table_rows_global"] = int(tab.shape[0])
+        result["local_row_start"] = [int(x) for x in row_starts]
+        result["local_row_count"] = [int(x) for x in row_rows]
+    print("RESULT " + json.dumps(result), flush=True)
     sys.stdout.flush()
     # Explicit shutdown + hard exit: leaving the distributed shutdown
     # barrier to interpreter teardown is flaky — a leaked non-daemon

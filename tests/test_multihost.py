@@ -26,12 +26,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn_pair(mode: str, out_dir: str):
+def _spawn_pair(mode: str, out_dir: str, devices_per_proc: int = 1):
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        XLA_FLAGS=(f"--xla_force_host_platform_device_count="
+                   f"{devices_per_proc}"),
         PYTHONPATH=os.pathsep.join(
             [repo_root] + os.environ.get("PYTHONPATH", "").split(os.pathsep)
         ).rstrip(os.pathsep),
@@ -111,3 +112,30 @@ def test_two_process_fit(mode, tmp_path):
         side = json.load(open(os.path.join(out_dir, "ckpt", "best",
                                            "metrics.json")))
         assert side["epoch"] in (1, 2) and np.isfinite(side["ndcg"])
+
+
+def test_two_process_two_device_sharded_tables(tmp_path):
+    """2 processes x 2 devices = 4 global devices on a (model=2, data=2)
+    mesh with row-sharded embedding tables. 'model' is the MAJOR mesh
+    axis, so each model-axis group pairs device i of process 0 with
+    device i of process 1: every sharded-table lookup's gather+psum (and
+    its backward scatter) crosses the process transport — not just the
+    replicated-gradient psums the 1-device-per-process modes exercise
+    (SURVEY.md §2.3 multi-host row at the sharded-table composition)."""
+    out_dir = str(tmp_path / "run_sharded")
+    out0, out1 = _spawn_pair("sharded", out_dir, devices_per_proc=2)
+    r0, r1 = _result(out0), _result(out1)
+
+    assert r0["epochs_run"] == r1["epochs_run"] == 2
+    for k in ("val_hr", "val_ndcg", "test_ndcg"):
+        assert np.isfinite(r0[k])
+        np.testing.assert_allclose(r0[k], r1[k], rtol=1e-6, err_msg=k)
+    assert r0["val_hr"] > 0.0
+
+    # each process holds exactly ONE half-table row window, and the two
+    # processes hold DIFFERENT windows — the other half of every lookup
+    # could only have come over the transport
+    for r in (r0, r1):
+        assert len(r["local_row_start"]) == 1
+        assert r["local_row_count"] == [r["table_rows_global"] // 2]
+    assert r0["local_row_start"] != r1["local_row_start"]
