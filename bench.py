@@ -141,10 +141,34 @@ def main() -> None:
     # MFU: analytic matmul FLOPs/step over measured step time vs the
     # chip's bf16 peak (utils/flops.py) — utilization context the raw
     # vs-torch-CPU ratio can't give. None on unknown chips.
-    from carca_tpu.utils.flops import device_peak_flops, train_step_flops
+    from carca_tpu.utils.flops import (device_peak_flops,
+                                       device_peak_hbm_bps,
+                                       train_step_flops,
+                                       train_step_hbm_bytes)
     peak = device_peak_flops(jax.devices()[0])
     mfu = (train_step_flops(mc, tc.batch_size) * examples_per_sec
            / tc.batch_size / peak) if peak else None
+
+    # bandwidth roofline companion to MFU: modeled HBM bytes/step
+    # (optimizer+grad streams, table gathers/scatters, batch IO, fwd
+    # intermediates — utils/flops.py caveats) at the measured step rate,
+    # plus XLA's own bytes-accessed estimate of the compiled executable
+    # when the backend exposes one (cross-check; includes what fusion
+    # actually kept in HBM)
+    steps_per_sec = examples_per_sec / tc.batch_size
+    hbm_gbps = (train_step_hbm_bytes(mc, tc.batch_size,
+                                     sparse_items=at_scale)
+                * steps_per_sec / 1e9)
+    hbm_peak = device_peak_hbm_bps(jax.devices()[0])
+    xla_gbps = None
+    try:
+        ca = step.lower(state, attrs, dd.arrays, chunks[0]).compile()
+        cost = ca.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        xla_bytes = float(cost["bytes accessed"]) / inner
+        xla_gbps = xla_bytes * steps_per_sec / 1e9
+    except Exception:
+        pass  # backend without cost_analysis (or non-jit step)
 
     baseline = None
     base_file = ("VALIDATION_men_ref.json" if args.config == "men"
@@ -170,6 +194,12 @@ def main() -> None:
                     "max": round(max(rates), 1)}
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    out["hbm_gbps"] = round(hbm_gbps, 1)
+    if xla_gbps is not None:
+        out["hbm_gbps_xla"] = round(xla_gbps, 1)
+    if hbm_peak is not None:
+        out["hbm_bw_util"] = round(
+            max(hbm_gbps, xla_gbps or 0.0) * 1e9 / hbm_peak, 4)
     if args.batch != 256:  # reference was measured at 256
         out["batch"] = args.batch
     print(json.dumps(out))

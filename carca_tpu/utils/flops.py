@@ -87,3 +87,90 @@ def train_step_flops(mc: ModelConfig, batch_size: int) -> float:
 def device_peak_flops(device) -> float | None:
     """bf16 peak for a jax device, or None when unknown (CPU, new chips)."""
     return PEAK_FLOPS.get(getattr(device, "device_kind", ""))
+
+
+# HBM peak bandwidth per chip, bytes/s. Same public spec sheets as
+# PEAK_FLOPS; keys are jax device_kind strings.
+PEAK_HBM_BPS = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,  # v5e
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,  # v5p
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,  # Trillium
+    "TPU v6e": 1640e9,
+}
+
+
+def device_peak_hbm_bps(device) -> float | None:
+    """HBM peak bytes/s for a jax device, or None when unknown."""
+    return PEAK_HBM_BPS.get(getattr(device, "device_kind", ""))
+
+
+def train_step_hbm_bytes(mc: ModelConfig, batch_size: int,
+                         sparse_items: bool = False) -> float:
+    """Modeled HBM bytes of one optimizer step (companion to
+    ``train_step_flops`` for the bandwidth roofline).
+
+    Counts the traffic classes a CARCA train step cannot avoid at the
+    HLO level — optimizer/gradient streams over the parameter tables,
+    embedding-table gathers + backward scatter-adds, batch tensors, and
+    forward intermediates written to HBM and re-read by the backward
+    pass (no remat). Elementwise chains XLA fuses (bias adds, masks,
+    activations, dropout) are NOT counted as extra round-trips, so this
+    is a best-case model: ``hbm_gbps`` computed from it understates the
+    chip's achieved bytes when fusion falls short, and the ratio to the
+    HBM peak is a lower bound on how bandwidth-bound the step is.
+
+    Two caveats it deliberately does not model (DESIGN §13): random-row
+    table gathers/scatters move (8, 128) tiles per row on TPU, so their
+    *achieved* bytes can exceed the logical row bytes counted here by
+    the tile/row ratio; and unique-row scatters sit at a per-row RMW
+    floor that is latency-, not bytes-, limited (CLAUDE.md traps).
+    """
+    B, L, d, g = batch_size, mc.seq_len, mc.d, mc.g
+    T = 2 * L  # train candidates: L positives + L negatives
+    a, c = mc.n_attrs, mc.n_ctx
+    s = 4  # params/tables/activations are f32 on the hot path; the
+    #        bf16 compute_dtype casts happen inside fused matmuls
+    tokens = B * (L + T)
+
+    # parameter bytes: items table + attr/ctx fusion MLPs + encoder +
+    # decoder (mirrors models/*_init shapes)
+    p_table = mc.n_items * d * s
+    p_fuse = ((a + c) * g + g + (g + d) * d + d) * s  # fc1 + fc2 (+biases)
+    p_enc = mc.n_blocks * (3 * d * d + 2 * d * d + 4 * d) * s
+    p_dec = (3 * d * d + d) * s if mc.decoder == "ca" else 0
+    p_rest = p_fuse + p_enc + p_dec
+
+    # optimizer stream: bwd writes grads (1), Adam reads g+p+m+v (4) and
+    # writes p+m+v (3) = 8 passes over every parameter byte. Lazy
+    # row-sparse Adam (train/sparse_adam.py) touches only the gathered
+    # rows of the items table; `tokens` is the (duplicate-counting)
+    # upper bound on touched rows.
+    touched = min(tokens, mc.n_items) * d * s
+    opt = 8.0 * ((touched if sparse_items else p_table) + p_rest)
+
+    # table gathers: every token reads its item row + attrs row (+ pos
+    # row when encoded); backward scatter-adds d-dim grads (read+write)
+    gather = tokens * (d + a) * s
+    scatter = 2.0 * tokens * d * s
+
+    # batch tensors: ids, labels, per-event ctx (device pipeline keeps
+    # them in HBM between assembly and the step)
+    batch_io = tokens * (4 + 4 + c * s)
+
+    # forward intermediates (write fwd + read bwd = 2 passes each),
+    # mirroring carca_apply: fused token embeddings [tokens, d] and the
+    # g-dim attr/ctx hidden, encoder per block (Q,K,V, scores, softmax,
+    # attn out, 2 FFN), decoder (ca: Q,K,V, scores, softmax, out).
+    acts = tokens * (g + d)
+    acts += mc.n_blocks * (3 * B * L * d + 2 * B * L * L + 2 * B * L * d
+                           + 2 * B * L * d)
+    if mc.decoder == "ca":
+        acts += B * T * d + 2 * B * L * d + 2 * B * T * L + B * T * d
+    else:
+        acts += B * T * d  # profile mix / score intermediates
+    acts_bytes = 2.0 * acts * s
+
+    return opt + gather + scatter + batch_io + acts_bytes

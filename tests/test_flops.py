@@ -1,9 +1,9 @@
 """Analytic FLOP accounting (utils/flops.py) — hand-computed oracle."""
 
 from carca_tpu.config import ModelConfig
-from carca_tpu.utils.flops import (device_peak_flops,
+from carca_tpu.utils.flops import (device_peak_flops, device_peak_hbm_bps,
                                    forward_flops_per_example,
-                                   train_step_flops)
+                                   train_step_flops, train_step_hbm_bytes)
 
 
 def test_forward_flops_ca_hand_computed():
@@ -42,10 +42,30 @@ def test_decoder_and_embedding_variants_ordered():
     assert e["id"] == enc + 2 * 10 * d
 
 
+def test_hbm_bytes_model():
+    mc = ModelConfig(n_items=1_000_001, n_attrs=12, n_ctx=4, d=64, g=256,
+                     seq_len=50, n_blocks=2, n_heads=2, decoder="dot")
+    dense = train_step_hbm_bytes(mc, 256)
+    sparse = train_step_hbm_bytes(mc, 256, sparse_items=True)
+    # dense Adam streams the whole 1M-row table 8x; lazy sparse Adam
+    # touches at most the batch's token rows — the dominant term at
+    # catalog scale, so the gap must be the 8-pass table stream
+    table_stream = 8.0 * mc.n_items * mc.d * 4
+    touched = 8.0 * min(256 * 3 * 50, mc.n_items) * mc.d * 4
+    assert dense - sparse == table_stream - touched
+    # scales ~linearly in batch for the non-table terms
+    assert train_step_hbm_bytes(mc, 512) > train_step_hbm_bytes(mc, 256)
+    # modeled traffic must cover at least the raw gather+scatter bytes
+    tokens = 256 * 3 * 50
+    assert sparse > 3 * tokens * mc.d * 4
+
+
 def test_device_peak_lookup():
     class FakeDev:
         device_kind = "TPU v5 lite"
     assert device_peak_flops(FakeDev()) == 197e12
+    assert device_peak_hbm_bps(FakeDev()) == 819e9
     class Unknown:
         device_kind = "abacus"
     assert device_peak_flops(Unknown()) is None
+    assert device_peak_hbm_bps(Unknown()) is None
