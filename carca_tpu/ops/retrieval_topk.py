@@ -221,6 +221,61 @@ def _groupmax_kernel(chunk: int, group: int, lim_ref, q_ref, e_ref, *rest):
     gm_ref[:] = jnp.max(s.reshape(chunk // group, group, b), axis=1)
 
 
+def _groupmax_bq_kernel(chunk: int, group: int, quad: int, lim_ref, q_ref,
+                        e_ref, *rest):
+    """Stage-1 kernel of the RECURSIVE tournament: like
+    ``_groupmax_kernel`` but emits the per-group maxima in ``[B, G]``
+    (query-major) layout, so stage 2 never materializes the [G, B]
+    transpose that bounded the flat tournament at multi-million-item
+    catalogs (DESIGN §11d addendum).
+
+    Scores are computed in natural [B, C] orientation; the per-group
+    lane-reduce gives [B, C/group]. A [B, C/group] output block violates
+    Mosaic's 128-lane constraint (the round-3 lesson), so ``quad``
+    consecutive programs share one [B, 128]-lane output block
+    (index_map j → j // quad): Mosaic keeps a revisited output block in
+    VMEM until the block index changes, so each program merges its
+    ``C/group`` lanes into the live block (tile + lane-slot select — no
+    dynamic lane stores) and the block is written to HBM once."""
+    if len(rest) == 2:
+        scl_ref, gm_ref = rest
+    else:
+        scl_ref, (gm_ref,) = None, rest
+    j = pl.program_id(0)
+    b = q_ref.shape[0]
+    q = q_ref[:]  # [B, d]
+    e = e_ref[:]  # [C, d]
+    cd = jnp.bfloat16 if e.dtype == jnp.int8 else e.dtype
+    # same dtype/precision contract as _groupmax_kernel: TRUE f32 scores
+    # (HIGHEST) for f32 catalogs; bf16 operands must not carry the flag
+    s = jax.lax.dot_general(
+        q.astype(cd), e.astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if cd == jnp.float32
+                   else None),
+    )  # [B, C]
+    if scl_ref is not None:
+        s = s * scl_ref[:]  # [1, C] per-row dequantization scales
+    col0 = j * chunk
+    gids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    bad = (gids >= lim_ref[0]) | ((gids == 0) & (lim_ref[1] == 1))
+    s = jnp.where(bad, NEG_INF, s)
+    gpc = chunk // group
+    gmax = jnp.max(s.reshape(b, gpc, group), axis=2)  # [B, gpc]
+    vt = jnp.tile(gmax, (1, quad))                    # [B, 128]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, quad * gpc), 1) // gpc
+    m = j % quad
+
+    @pl.when(m == 0)
+    def _init():
+        gm_ref[:] = jnp.where(slot == 0, vt, NEG_INF)
+
+    @pl.when(m != 0)
+    def _merge():
+        gm_ref[:] = jnp.where(slot == m, vt, gm_ref[:])
+
+
 # Tournament-vs-stream crossover (measured on v5e, B=256, d=64, f32/
 # bf16/int8 x k=10/60 at 2^16..2^20 rows): the stream kernel's k-round
 # suppress is O(k*B*R) VPU passes, so the tournament's advantage grows
@@ -231,6 +286,13 @@ def _groupmax_kernel(chunk: int, group: int, lim_ref, q_ref, e_ref, *rest):
 _TOURNAMENT_MIN_ROWS = 1_048_576
 _TOURNAMENT_MIN_ROWS_BIG_K = 524_288  # k >= 48: measured win at 2^19
 _GROUP = 128  # one VPU lane row per group max
+# Flat stage 2 (transpose [G, B] + lax.top_k over [B, G]) vs recursive
+# (query-major kernel layout + level-2 lane max + two small top_ks):
+# the flat path's 2·G·B·4-byte transpose and O(G)-wide sort passes grow
+# linearly in G while the recursion's extra cost is one [B, G] max
+# pass, so recursion wins once G is large. Measured crossover on v5e
+# (B=256, d=64, k=10): see DESIGN §11d round-4 addendum.
+_RECURSIVE_MIN_GROUPS = 4096
 
 
 def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
@@ -264,7 +326,18 @@ def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
     c_cap = max(group, (2_000_000 // max(b, 1)) // group * group)
     c = min(chunk, c_cap, _round_up(r, group))
     c = max(c // group * group, group)
-    rp = _round_up(r, c)
+    # recursive stage 2 for big catalogs: the [B, G]-layout kernel needs
+    # G padded to a 128-lane multiple and chunks whose group count
+    # divides 128 (quad programs share each output block)
+    recursive = _round_up(r, group) // group >= _RECURSIVE_MIN_GROUPS
+    if recursive:
+        gpc = max(1, min(c // group, 128))
+        gpc = 1 << (gpc.bit_length() - 1)  # power of two ≤ 128
+        c = gpc * group
+        quad = 128 // gpc
+        rp = _round_up(r, 128 * group)
+    else:
+        rp = _round_up(r, c)
     pad = rp - r
     if pad:
         catalog_emb = jnp.pad(catalog_emb, ((0, pad), (0, 0)))
@@ -281,37 +354,83 @@ def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
         pl.BlockSpec((c, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
     ]
     args = [lim, q, catalog_emb]
-    if scales is not None:
-        # [1, R] → [R, 1] (a free reshape): the transposed score tile
-        # wants per-row scales down the sublane axis
-        in_specs.append(
-            pl.BlockSpec((c, 1), lambda j: (j, 0), memory_space=pltpu.VMEM))
-        args.append(scales.reshape(-1, 1))
     n_groups = rp // group
-    gm = pl.pallas_call(
-        functools.partial(_groupmax_kernel, c, group),
-        grid=(rp // c,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((c // group, b), lambda j: (j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_groups, b), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * rp * d,
-            bytes_accessed=(rp * d * catalog_emb.dtype.itemsize
-                            + b * d * q.dtype.itemsize),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args).T  # [B, n_groups] per-group maxima
+    cost = pl.CostEstimate(
+        flops=2 * b * rp * d,
+        bytes_accessed=(rp * d * catalog_emb.dtype.itemsize
+                        + b * d * q.dtype.itemsize),
+        transcendentals=0,
+    )
+    if recursive:
+        if scales is not None:
+            # [1, R] as-is: the query-major score tile wants per-row
+            # scales along the lane axis
+            in_specs.append(
+                pl.BlockSpec((1, c), lambda j: (0, j),
+                             memory_space=pltpu.VMEM))
+            args.append(scales)
+        gmat = pl.pallas_call(
+            functools.partial(_groupmax_bq_kernel, c, group, quad),
+            grid=(rp // c,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((b, 128), lambda j: (0, j // quad),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n_groups), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)  # [B, G] per-group maxima, query-major — no transpose
+        # level-2 tournament: lane-max over 128-group super-groups, pick
+        # k+8 super-groups, then top-k level-1 groups among only their
+        # (k+8)·128 candidate maxima. Both top_ks are narrow; the wide
+        # [B, G] array is read once by the level-2 reduce and once by the
+        # (contiguous 128-lane-span) candidate gather. Exactness: the
+        # containment proof applies per level — an unpicked super-group
+        # tied with a picked one has the higher super-group id, so every
+        # level-1 group inside it also follows in global (value,
+        # first-occurrence) order; super-group maxima are bitwise maxima
+        # of the same level-1 array, so no new ulp margin is needed.
+        n2 = n_groups // 128
+        gm2 = jnp.max(gmat.reshape(b, n2, 128), axis=2)  # [B, G/128]
+        kg2 = min(k + 8, n2)
+        _, gi2 = jax.lax.top_k(gm2, kg2)   # ties → lowest super-group
+        gi2 = jnp.sort(gi2, axis=1)
+        # candidate level-1 ids ascend globally (sorted contiguous
+        # blocks), so the level-1 top_k's lowest-index tie break below
+        # is again lowest-group-id — the flat path's order exactly
+        cand = (gi2[:, :, None] * 128
+                + jnp.arange(128, dtype=jnp.int32)).reshape(b, kg2 * 128)
+        cvals = jnp.take_along_axis(gmat, cand, axis=1)
+        kg = min(k + 8, n_groups)
+        _, sel = jax.lax.top_k(cvals, kg)
+        gi = jnp.take_along_axis(cand, sel, axis=1)
+        gi = jnp.sort(gi, axis=1)          # restore global column order
+    else:
+        if scales is not None:
+            # [1, R] → [R, 1] (a free reshape): the transposed score tile
+            # wants per-row scales down the sublane axis
+            in_specs.append(
+                pl.BlockSpec((c, 1), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM))
+            args.append(scales.reshape(-1, 1))
+        gm = pl.pallas_call(
+            functools.partial(_groupmax_kernel, c, group),
+            grid=(rp // c,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((c // group, b), lambda j: (j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_groups, b), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args).T  # [B, n_groups] per-group maxima
 
-    # +8 margin groups: kernel maxima and rerank scores agree to
-    # accumulation-order ulps (both HIGHEST); the margin makes a dropped
-    # boundary group require 8+ group maxima inside that ulp window.
-    # Exact ties are still exact: equal maxima order by group id on both
-    # sides (the containment proof in the docstring needs only that).
-    kg = min(k + 8, n_groups)
-    _, gi = jax.lax.top_k(gm, kg)      # ties → lowest group id first
-    gi = jnp.sort(gi, axis=1)          # restore global column order
+        # +8 margin groups: kernel maxima and rerank scores agree to
+        # accumulation-order ulps (both HIGHEST); the margin makes a
+        # dropped boundary group require 8+ group maxima inside that ulp
+        # window. Exact ties are still exact: equal maxima order by group
+        # id on both sides (the containment proof needs only that).
+        kg = min(k + 8, n_groups)
+        _, gi = jax.lax.top_k(gm, kg)      # ties → lowest group id first
+        gi = jnp.sort(gi, axis=1)          # restore global column order
 
     # rerank the winner groups exactly, in memory-bounded slices: the
     # gathered winner rows are [B, kc, group, d] per slice (the score

@@ -160,6 +160,67 @@ def test_tournament_topk_exact_under_ties():
         np.testing.assert_array_equal(np.asarray(ids[bi]), order)
 
 
+def test_tournament_recursive_stage2_matches_lax_topk():
+    """The recursive (two-level) tournament — query-major group-max
+    kernel + level-2 lane max + narrow top_ks — must stay exactly
+    lax.top_k: values, ids, first-occurrence tie order, shard offsets,
+    ragged catalogs, and int8 scales. Forced at toy scale by dropping
+    _RECURSIVE_MIN_GROUPS (padding rounds G up to a full 128-lane
+    super-group, so the pad-masking path is exercised hard)."""
+    import carca_tpu.ops.retrieval_topk as rt
+    from carca_tpu.ops.retrieval_topk import catalog_topk, quantize_index
+    rng = np.random.default_rng(13)
+    old = rt._RECURSIVE_MIN_GROUPS
+    rt._RECURSIVE_MIN_GROUPS = 1
+    try:
+        for r, b, d, k, off in [(1000, 8, 16, 10, 0), (517, 4, 32, 7, 0),
+                                (777, 8, 16, 5, 777), (4096, 4, 16, 12, 0),
+                                (33000, 4, 8, 9, 0)]:
+            q = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+            e = jnp.asarray(rng.normal(size=(r, d)), jnp.float32)
+            v, ids = catalog_topk(q, e, k, n_items=off + r, id_offset=off,
+                                  chunk=256, method="tournament")
+            s = np.array(jnp.einsum("bd,rd->br", q, e))
+            if off == 0:
+                s[:, 0] = -np.inf  # pad id
+            for bi in range(b):
+                order = np.argsort(-s[bi], kind="stable")[:k]
+                np.testing.assert_allclose(np.asarray(v[bi]), s[bi][order],
+                                           rtol=1e-5, atol=1e-6)
+                np.testing.assert_array_equal(np.asarray(ids[bi]),
+                                              order + off)
+
+        # heavy cross-group ties: recursion must keep the global
+        # first-occurrence order through BOTH selection levels
+        e = jnp.asarray(rng.integers(0, 3, (1500, 4)), jnp.float32)
+        q = jnp.asarray(rng.integers(0, 3, (6, 4)), jnp.float32)
+        v, ids = catalog_topk(q, e, 8, chunk=256, method="tournament")
+        s = np.array(np.asarray(q) @ np.asarray(e).T)
+        s[:, 0] = -np.inf
+        for bi in range(6):
+            order = np.argsort(-s[bi], kind="stable")[:8]
+            np.testing.assert_array_equal(np.asarray(v[bi]), s[bi][order])
+            np.testing.assert_array_equal(np.asarray(ids[bi]), order)
+
+        # int8 index: per-row scales ride the lane axis in this layout
+        e = jnp.asarray(rng.normal(size=(900, 16)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        qi = quantize_index(e)
+        v, ids = catalog_topk(q, qi, 9, method="tournament")
+        sd = np.array(jnp.einsum(
+            "bd,rd->br", q.astype(jnp.bfloat16),
+            qi.qvals.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32) * qi.scales[0][None, :])
+        sd[:, 0] = -np.inf
+        for bi in range(4):
+            order = np.argsort(-sd[bi], kind="stable")[:9]
+            np.testing.assert_allclose(np.asarray(v[bi]), sd[bi][order],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(ids[bi]), order)
+    finally:
+        rt._RECURSIVE_MIN_GROUPS = old
+
+
 def test_tournament_topk_sharded_and_in_pipeline(setup):
     """method='tournament' slots into topk_given_queries (exclusions,
     row_ids compaction) with identical results to the stream kernel."""
