@@ -139,6 +139,20 @@ class Recommender:
         self.cfg = cfg
         self.exclude_history = exclude_history
         self.batch_buckets = tuple(sorted(batch_buckets))
+        if mesh is not None:
+            # params/attrs stay REPLICATED over the index mesh (class
+            # docstring). Checkpoint-restored arrays arrive committed to
+            # a single device, and jit rejects mixing committed
+            # device-0 inputs with mesh out_shardings ("incompatible
+            # devices") — found serving a restored run with
+            # --index_shards 2; fresh params hid it (uncommitted arrays
+            # place freely).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            params = jax.device_put(
+                params, jax.tree_util.tree_map(lambda _: rep, params))
+            attrs_table = jax.device_put(
+                jnp.asarray(attrs_table, jnp.float32), rep)
         self.params = params
         self.attrs = jnp.asarray(attrs_table, jnp.float32)
         self.default_ctx = (np.zeros((cfg.n_ctx,), np.float32)

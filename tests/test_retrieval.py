@@ -237,11 +237,22 @@ def test_tournament_topk_sharded_and_in_pipeline(setup):
     rt._TOURNAMENT_MIN_ROWS = 1  # force the tournament at toy scale
     try:
         v1, i1 = topk_given_queries(q, e, mc, 6, exclude=exclude)
+        # recursive stage 2 under the same pipeline (exclusions, row_ids
+        # compaction, traced shard offsets)
+        old2 = rt._RECURSIVE_MIN_GROUPS
+        rt._RECURSIVE_MIN_GROUPS = 1
+        try:
+            v2, i2 = topk_given_queries(q, e, mc, 6, exclude=exclude)
+        finally:
+            rt._RECURSIVE_MIN_GROUPS = old2
     finally:
         rt._TOURNAMENT_MIN_ROWS = old
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i2))
 
 
 def test_full_catalog_topk_kernel_equals_xla(setup):
@@ -273,6 +284,20 @@ def test_sharded_kernel_topk_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    # recursive-tournament stage 2 per shard (traced id_offset windows,
+    # heavy 128-super-group padding of the tiny shards)
+    import carca_tpu.ops.retrieval_topk as rt
+    oldt, oldr = rt._TOURNAMENT_MIN_ROWS, rt._RECURSIVE_MIN_GROUPS
+    rt._TOURNAMENT_MIN_ROWS, rt._RECURSIVE_MIN_GROUPS = 1, 1
+    try:
+        v2, i2 = full_catalog_topk(params_p, mc, profile, attrs_p, k,
+                                   mesh=mesh, use_kernel=True)
+    finally:
+        rt._TOURNAMENT_MIN_ROWS, rt._RECURSIVE_MIN_GROUPS = oldt, oldr
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i2))
 
 
 def test_embed_catalog_chunked_matches_unchunked(setup):
