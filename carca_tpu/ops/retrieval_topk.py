@@ -286,13 +286,20 @@ def _groupmax_bq_kernel(chunk: int, group: int, quad: int, lim_ref, q_ref,
 _TOURNAMENT_MIN_ROWS = 1_048_576
 _TOURNAMENT_MIN_ROWS_BIG_K = 524_288  # k >= 48: measured win at 2^19
 _GROUP = 128  # one VPU lane row per group max
-# Flat stage 2 (transpose [G, B] + lax.top_k over [B, G]) vs recursive
-# (query-major kernel layout + level-2 lane max + two small top_ks):
-# the flat path's 2·G·B·4-byte transpose and O(G)-wide sort passes grow
-# linearly in G while the recursion's extra cost is one [B, G] max
-# pass, so recursion wins once G is large. Measured crossover on v5e
-# (B=256, d=64, k=10): see DESIGN §11d round-4 addendum.
-_RECURSIVE_MIN_GROUPS = 4096
+# Recursive stage 2 (query-major kernel layout + level-2 lane max + two
+# narrow top_ks) is a MEASURED NEGATIVE on v5e and is off by default —
+# exact and tested (forced via this constant in tests), but slower than
+# the flat path at 10M bf16 B=256 k=10: kernel 15.25 → 22.63 ms (the
+# [B, C]-orientation dot makes Mosaic transpose each catalog tile into
+# the MXU) and stage 2 5.64 → 11.69 ms (take_along_axis on [B, 78k]
+# gathers at scalar granularity, ~12.8 ms for 590k elements — same
+# per-element floor as the §12 scatter results — while the transpose +
+# wide top_k it replaces fuse to 5.6 ms). Chunk sweep 2048/4096: flat
+# path unchanged (26.9/26.1 ms) — the scan kernel is dot+VPU-reduce
+# compute-bound (~84 GB/s effective vs the 1.6 ms DMA floor), so
+# stage-2 surgery cannot move the 10M headline. DESIGN §11d round-4
+# addendum has the full decomposition.
+_RECURSIVE_MIN_GROUPS = 1 << 62  # off: measured negative (see above)
 
 
 def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
@@ -326,6 +333,20 @@ def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
     c_cap = max(group, (2_000_000 // max(b, 1)) // group * group)
     c = min(chunk, c_cap, _round_up(r, group))
     c = max(c // group * group, group)
+    # flat-path Mosaic constraint: the (c//group, b) output block needs
+    # its sublane dim divisible by 8 (chunk=7680 → 60 groups crashed the
+    # lowering). Round the chunk's group count to a multiple of 8; when
+    # the VMEM cap forced fewer than 8 groups (huge query batches),
+    # raise it to 8 — the [b, 8·group] f32 score tile stays ≤ 8 MB for
+    # b ≤ 2048; beyond that the batch must be split anyway.
+    if c // group >= 8:
+        c = (c // group // 8 * 8) * group
+    elif b <= 2048:
+        c = 8 * group
+    else:
+        raise ValueError(
+            f"query batch {b} forces a <8-group chunk whose output block "
+            f"Mosaic cannot lower; split the query batch")
     # recursive stage 2 for big catalogs: the [B, G]-layout kernel needs
     # G padded to a 128-lane multiple and chunks whose group count
     # divides 128 (quad programs share each output block)
