@@ -220,3 +220,4 @@ def test_fused_kernel_bf16_matches_oracle_bf16():
     got = mha_apply(params, x, x, x, mask, mask, use_pallas=True, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)  # bf16 rounding
+
