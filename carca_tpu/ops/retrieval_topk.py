@@ -215,6 +215,12 @@ def _groupmax_kernel(chunk: int, group: int, lim_ref, q_ref, e_ref, *rest):
     if scl_ref is not None:
         s = s * scl_ref[:]  # [C, 1] per-row dequantization scales
     col0 = j * chunk
+    # The mask runs unconditionally: a round-4 A/B that skipped it for
+    # interior tiles on a runtime scalar branch (only the column-0 tile
+    # and limit-crossing tiles need it) measured the BRANCHED kernel
+    # ~2% slower (16.61 vs 16.22 ms median, interleaved, 10M bf16) —
+    # the scalar branch around the vector epilogue costs more than the
+    # ~4 VPU masking passes it saves. Don't re-attempt.
     gids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     bad = (gids >= lim_ref[0]) | ((gids == 0) & (lim_ref[1] == 1))
     s = jnp.where(bad, NEG_INF, s)
