@@ -23,6 +23,9 @@ RUNS = {
     "sm_k8_uni_e20": ("/tmp/r4_obj_sm_k8_uni_e20",
                       "sampled softmax, K=8 uniform, 20 epochs + "
                       "select_by=retrieval_hr"),
+    "sm_k8_pop_cos": ("/tmp/r4_obj_sm_k8_pop_cos",
+                      "sampled softmax, K=8 popularity + logQ, cosine lr "
+                      "decay over the 10 epochs + select_by=retrieval_hr"),
 }
 
 out = {"preset": "synthetic10m", "epochs": 10, "early_stop": 20,
