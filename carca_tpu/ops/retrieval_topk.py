@@ -345,10 +345,18 @@ def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
     # the VMEM cap forced fewer than 8 groups (huge query batches),
     # raise it to 8 — the [b, 8·group] f32 score tile stays ≤ 8 MB for
     # b ≤ 2048; beyond that the batch must be split anyway.
+    # (note: `chunk` is a tuning HINT — VMEM caps and these lowering
+    # constraints may shrink or grow it)
     if c // group >= 8:
         c = (c // group // 8 * 8) * group
     elif b <= 2048:
         c = 8 * group
+    elif c >= _round_up(r, group):
+        # whole padded catalog fits one chunk → single-program grid, and
+        # a block whose sublane dim EQUALS the array dim is legal even
+        # when not divisible by 8 (advisor, round 4: huge-batch callers
+        # with small catalogs lowered fine before the 8-group rounding)
+        pass
     else:
         raise ValueError(
             f"query batch {b} forces a <8-group chunk whose output block "

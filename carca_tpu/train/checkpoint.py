@@ -21,22 +21,34 @@ back epochs never race on the same directory.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict, Optional, Tuple
 
 import orbax.checkpoint as ocp
 
 
-def _selection_metric(metrics: Dict[str, Any]) -> float:
-    """The value ``fit`` compared when it decided to save: ``select``
-    (present only under ``select_by=retrieval_*``) else sampled ndcg.
-    Module-level (not a lambda) so orbax's retention and the sidecar
-    gate provably share one definition."""
-    return metrics.get("select", metrics["ndcg"])
+def _selection_metric(metrics: Dict[str, Any], select_by: str = "ndcg") -> float:
+    """The value ``fit`` compared when it decided to save, mirroring
+    ``loop.py::selection_value`` exactly: under ``select_by=ndcg`` the
+    sampled ndcg; under ``select_by=retrieval_*`` the saved ``select``
+    entry — but ONLY when the checkpoint was saved under the SAME regime
+    (its metrics carry a matching ``select_by``). A stale-regime
+    checkpoint scores 0.0 so the new regime's first save outranks it —
+    comparing an old retrieval-HR ``select`` against a new sampled ndcg
+    (or vice versa) is incommensurable and could pin retention/GC on the
+    wrong epoch across a resume whose ``select_by`` changed. Module-level
+    (not a lambda) so orbax's retention and the sidecar gate provably
+    share one definition."""
+    if select_by == "ndcg":
+        return metrics["ndcg"]
+    if metrics.get("select_by") == select_by:
+        return metrics["select"]
+    return 0.0
 
 
 class CheckpointKeeper:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, select_by: str = "ndcg"):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         # distinct barrier_sync_key_prefix per manager: on a multi-process
@@ -52,11 +64,13 @@ class CheckpointKeeper:
         # ndcg — keying on ndcg reloads the wrong checkpoint exactly when
         # the two curves diverge, which is the only regime the flag exists
         # for (config.py select_by rationale; bug found in round 3).
+        self._select_fn = functools.partial(_selection_metric,
+                                            select_by=select_by)
         self._best = ocp.CheckpointManager(
             os.path.join(directory, "best"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=1,
-                best_fn=_selection_metric,
+                best_fn=self._select_fn,
                 best_mode="max",
                 multiprocessing_options=ocp.options.MultiprocessingOptions(
                     barrier_sync_key_prefix="best"),
@@ -88,7 +102,7 @@ class CheckpointKeeper:
         import jax
         if jax.process_index() == 0 and (
                 prev is None
-                or _selection_metric(metrics) >= _selection_metric(prev)):
+                or self._select_fn(metrics) >= self._select_fn(prev)):
             import json
             with open(os.path.join(self._best.directory, "metrics.json"),
                       "w") as fh:

@@ -690,7 +690,7 @@ def fit(
             # src/train.py:117-124)
             import shutil
             shutil.rmtree(ckpt_dir)
-        keeper = CheckpointKeeper(ckpt_dir)
+        keeper = CheckpointKeeper(ckpt_dir, select_by=tc.select_by)
     if tc.checkpoint_resume and keeper is not None:
         try:
             restored = keeper.restore_latest(state)

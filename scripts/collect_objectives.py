@@ -67,7 +67,14 @@ for name, (d, desc) in RUNS.items():
         "train_examples_per_sec_steady": max(rate) if rate else None,
     }
     if fin:
-        entry["final"] = eval(fin.group(1))  # noqa: S307 - our own log
+        # the "final: {...}" line is a printed dict literal — parse it as
+        # one (ast.literal_eval cannot execute code, unlike eval; the log
+        # file is not a trusted input channel)
+        import ast
+        try:
+            entry["final"] = ast.literal_eval(fin.group(1))
+        except (ValueError, SyntaxError):
+            entry["final_unparsed"] = fin.group(1)
     try:
         offline = [json.loads(l) for l in open(d + ".offline.jsonl")]
         entry["offline_test"] = {o["which"]: o for o in offline}

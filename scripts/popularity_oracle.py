@@ -51,9 +51,15 @@ def main() -> None:
     cnt: Counter = Counter()
     rows = []
     drop = 1 if args.mode == "test" else 2
+    # user filter matches the real protocol exactly: window_bounds keeps a
+    # user iff len > min_len, i.e. >= 4 events for test, >= 3 for val
+    # (data/windowing.py _N_EXCLUDED) — shorter users the learned eval
+    # excludes must not enter the oracle's denominator or counts
+    # (advisor, round 4)
+    min_keep = 4 if args.mode == "test" else 3
     for u in range(cat.n_users):
         seq = items[offs[u]: offs[u + 1]]
-        if len(seq) < 3:
+        if len(seq) < min_keep:
             continue
         pos = seq[-drop]
         window = seq[: len(seq) - drop][-args.seq_len:]

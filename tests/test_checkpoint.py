@@ -76,7 +76,7 @@ def test_retention_keys_on_select_when_curves_diverge(tmp_path):
     def _params(v):
         return {"w": np.full((2, 2), v, np.float32)}
 
-    keeper = CheckpointKeeper(str(tmp_path / "div"))
+    keeper = CheckpointKeeper(str(tmp_path / "div"), select_by="retrieval_hr")
     try:
         # ndcg falls .9 → .5 while the selection metric rises .1 → .2:
         # fit() saved both because ITS comparison (select) improved.
@@ -106,6 +106,26 @@ def test_retention_keys_on_select_when_curves_diverge(tmp_path):
         keeper.save(2, _State(_params(2.0)), {"ndcg": 0.5, "hr": 0.5,
                                               "epoch": 2})
         assert keeper.best_metrics()["epoch"] == 1
+    finally:
+        keeper.close()
+
+    # regime change across a resume (advisor, round 4): a checkpoint
+    # retained under a DIFFERENT select_by must not win the comparison on
+    # its incommensurable stale metric — it scores 0.0, mirroring
+    # loop.py::selection_value, so the new regime's first save replaces it
+    keeper = CheckpointKeeper(str(tmp_path / "regime"),
+                              select_by="retrieval_ndcg")
+    try:
+        # old run retained this under select_by=retrieval_hr with a high
+        # stale 'select'; new regime's save has a lower raw number
+        keeper.save(1, _State(_params(1.0)),
+                    {"ndcg": 0.9, "hr": 0.9, "epoch": 1,
+                     "select": 0.9, "select_by": "retrieval_hr"})
+        keeper.save(2, _State(_params(2.0)),
+                    {"ndcg": 0.5, "hr": 0.5, "epoch": 2,
+                     "select": 0.05, "select_by": "retrieval_ndcg"})
+        m = keeper.best_metrics()
+        assert m["epoch"] == 2 and m["select_by"] == "retrieval_ndcg"
     finally:
         keeper.close()
 

@@ -160,6 +160,33 @@ def test_tournament_topk_exact_under_ties():
         np.testing.assert_array_equal(np.asarray(ids[bi]), order)
 
 
+def test_tournament_topk_huge_batch_single_chunk():
+    """b > 2048 forces a <8-group chunk via the VMEM cap; when the whole
+    padded catalog fits that one chunk the single-program grid is legal
+    (block sublane dim == array dim) and must not raise (advisor, round
+    4) — while a catalog too big for one chunk still raises with the
+    split-the-batch message."""
+    import pytest
+
+    from carca_tpu.ops.retrieval_topk import catalog_topk
+    rng = np.random.default_rng(3)
+    b, r, d, k = 4096, 300, 8, 5
+    q = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(r, d)), jnp.float32)
+    v, ids = catalog_topk(q, e, k, chunk=512, method="tournament")
+    s = np.array(np.asarray(q) @ np.asarray(e).T)
+    s[:, 0] = -np.inf
+    for bi in range(0, b, 997):  # spot-check rows
+        order = np.argsort(-s[bi], kind="stable")[:k]
+        np.testing.assert_allclose(np.asarray(v[bi]), s[bi][order],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ids[bi]), order)
+
+    e_big = jnp.asarray(rng.normal(size=(1000, d)), jnp.float32)
+    with pytest.raises(ValueError, match="split the query batch"):
+        catalog_topk(q, e_big, k, chunk=512, method="tournament")
+
+
 def test_tournament_recursive_stage2_matches_lax_topk():
     """The recursive (two-level) tournament — query-major group-max
     kernel + level-2 lane max + narrow top_ks — must stay exactly
