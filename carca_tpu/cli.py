@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=parse_bool, default=False)
     p.add_argument("--synthetic_users", type=int, default=2000)
     p.add_argument("--synthetic_items", type=int, default=1000)
+    p.add_argument("--synthetic_process", default="zipf",
+                   choices=("zipf", "markov"),
+                   help="zipf = iid Zipf(1) items (v1; retrieval-saturated "
+                        "per DESIGN 11c finding 9); markov = cluster-Markov "
+                        "process with per-user preferences (v2 — retrieval "
+                        "quality is falsifiable again)")
     p.add_argument("--resume", type=parse_bool, default=True)
     p.add_argument("--use_native", type=parse_bool, default=True)
     p.add_argument("--device_pipeline", type=parse_bool, default=False,
@@ -177,6 +183,7 @@ _PRESET_OVERLAY = {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
         "synthetic_users": "synthetic_users",
         "synthetic_items": "synthetic_items",
+        "synthetic_process": "synthetic_process",
         "device_sampling": "device_sampling",
         "exact_rejection": "exact_rejection",
         "neg_distribution": "neg_distribution",
@@ -192,6 +199,11 @@ _PRESET_OVERLAY = {
         "use_pallas": "use_pallas", "compute_dtype": "compute_dtype",
         "remat": "remat", "dropout": "dropout", "l2_norm": "l2_norm",
         "gamma": "gamma", "pack_tables": "pack_tables",
+        # plug-board ablations on top of a preset (e.g. the round-5
+        # --embedding id-vs-all ablation at 10M); note the overlay only
+        # fires when the flag differs from its parser default
+        "embedding": "embedding", "encoding": "encoding",
+        "decoder": "decoder",
     },
 }
 
@@ -262,6 +274,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         synthetic_users=args.synthetic_users,
         synthetic_items=args.synthetic_items,
         synthetic_seed=args.seed,
+        synthetic_process=args.synthetic_process,
     )
     tc = TrainConfig(
         lr=args.lr, loss=args.loss,
@@ -292,18 +305,14 @@ def load_catalog(args, dc=None):
     if dc is None:
         dc = config_from_args(args, 0, 0, 0).data
     if dc.synthetic or not dc.data_dir:
-        from carca_tpu.data.synthetic import (synthetic_catalog,
-                                              synthetic_catalog_device)
-        if dc.device_pipeline:
-            # HBM-resident pipeline → generate the catalog in HBM too;
-            # the host variant would ship O(GB) of attrs/ctx through the
-            # host→device link first (see synthetic_catalog_device)
-            return synthetic_catalog_device(
-                n_users=dc.synthetic_users, n_real_items=dc.synthetic_items,
-                seed=dc.synthetic_seed)
-        return synthetic_catalog(
-            n_users=dc.synthetic_users, n_real_items=dc.synthetic_items,
-            seed=dc.synthetic_seed)
+        from carca_tpu.data.synthetic import synthetic_generator
+        # device_pipeline → generate the catalog in HBM too; the host
+        # variant would ship O(GB) of attrs/ctx through the host→device
+        # link first (see synthetic_catalog_device)
+        gen = synthetic_generator(dc.synthetic_process,
+                                  device=dc.device_pipeline)
+        return gen(n_users=dc.synthetic_users,
+                   n_real_items=dc.synthetic_items, seed=dc.synthetic_seed)
     from carca_tpu.data.loaders import load_dataset
     return load_dataset(dc.data_dir, dc.profile_file, dc.attr_file,
                         dc.ctx_file)

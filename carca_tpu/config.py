@@ -126,6 +126,12 @@ class DataConfig:
     synthetic_users: int = 2000
     synthetic_items: int = 1000
     synthetic_seed: int = 0
+    # "zipf" = iid Zipf(1) items (v1; saturated per DESIGN §11c finding 9:
+    # popularity ranking is Bayes-optimal, so it can no longer falsify a
+    # retrieval-quality claim); "markov" = cluster-Markov process with
+    # per-user preferences (v2 — Bayes-optimal retrieval must read the
+    # history; data/synthetic.py module docstring)
+    synthetic_process: str = "zipf"
 
 
 @dataclass(frozen=True)

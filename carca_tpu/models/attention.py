@@ -71,6 +71,25 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
 
 
+# Head-layout formulation of the jnp path — same math, different HLO.
+# Round-4 profiling attributed ~15% of flagship device time to layout-
+# repair copies around the [B,H,L,dh] transposes; round 5 A/Bed three
+# formulations end-to-end (scripts/ab_attention_layout.py, full flagship
+# train step, median of 5 windows):
+#   "bhqk"   — split+transpose to [B,H,L,dh], 4D batched einsums (round-4
+#              shipping form)
+#   "blhd"   — reshape only, contraction on [B,L,H,dh] directly (no
+#              transpose in the source; XLA still picks operand layouts)
+#   "hb_fold"— heads stacked along batch [H·B, L, dh], 3D bmms (the
+#              reference's own trick, src/carca.py:242-244)
+# Numbers + the shipped default are recorded in docs/DESIGN.md §13
+# (round-5 addendum). NOTE the dropout mask SHAPE differs per
+# formulation ([B,H,Lq,Lk] vs [H·B,Lq,Lk]) — masks stay iid Bernoulli so
+# training semantics are identical, but per-bit reproducibility across
+# formulations is not a contract (only within one).
+_FORMULATION = "bhqk"
+
+
 def pair_mask(
     q_mask: jnp.ndarray, k_mask: jnp.ndarray, causal: Optional[int]
 ) -> jnp.ndarray:
@@ -110,12 +129,62 @@ def masked_attention(
     fallback (``ops/flash_attention._jnp_fallback``). Keeping one copy makes
     "fallback ≡ oracle" structural rather than copy-maintained."""
     cd = jnp.dtype(compute_dtype)
-    qh = _split_heads(q.astype(cd), n_heads)
-    kh = _split_heads(k.astype(cd), n_heads)
-    vh = _split_heads(v.astype(cd), n_heads)
+    h = n_heads
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    dh = d // h
 
     m = pair_mask(q_mask, k_mask, causal)  # [B, Lq, Lk]
     add = jnp.where(m > 0, 0.0, NEG_MASK).astype(jnp.float32)
+
+    if _FORMULATION == "hb_fold":
+        # heads stacked along batch (src/carca.py:242-244's own layout):
+        # chunk the feature dim, concat head-major along batch → 3D bmms
+        def fold(x):
+            return (x.astype(cd).reshape(b, -1, h, dh)
+                    .transpose(2, 0, 1, 3).reshape(h * b, -1, dh))
+        q3, k3, v3 = fold(q), fold(k), fold(v)
+        # logits in fp32: (QKᵀ + add) / √(d/H) — mask added pre-scale, as
+        # in baddbmm at src/carca.py:253-254
+        logits = jnp.einsum("xqe,xke->xqk", q3, k3,
+                            preferred_element_type=jnp.float32)
+        add3 = jnp.broadcast_to(add[None], (h, b, lq, lk)).reshape(
+            h * b, lq, lk)
+        m3 = jnp.broadcast_to(m[None], (h, b, lq, lk)).reshape(
+            h * b, lq, lk)
+        logits = (logits + add3) / scale
+        w = jax.nn.softmax(logits, axis=-1)
+        w = w * m3  # post-softmax re-mask (src/carca.py:256)
+        wd = layers.dropout(rng, w, dropout_rate, train)  # on weights (:258)
+        out = jnp.einsum("xqk,xke->xqe", wd.astype(cd), v3,
+                         preferred_element_type=jnp.float32)
+        out = (out.reshape(h, b, lq, dh).transpose(1, 2, 0, 3)
+               .reshape(b, lq, d).astype(jnp.float32))
+        if return_w:
+            return w.reshape(h, b, lq, lk).transpose(1, 0, 2, 3), out
+        return out
+
+    if _FORMULATION == "blhd":
+        # reshape-only: contract per-head directly on [B, L, H, dh]
+        q4 = q.astype(cd).reshape(b, lq, h, dh)
+        k4 = k.astype(cd).reshape(b, lk, h, dh)
+        v4 = v.astype(cd).reshape(b, lk, h, dh)
+        logits = jnp.einsum("bqhe,bkhe->bhqk", q4, k4,
+                            preferred_element_type=jnp.float32)
+        logits = (logits + add[:, None]) / scale
+        w = jax.nn.softmax(logits, axis=-1)
+        w = w * m[:, None]  # post-softmax re-mask (src/carca.py:256)
+        wd = layers.dropout(rng, w, dropout_rate, train)  # on weights (:258)
+        out = jnp.einsum("bhqk,bkhe->bqhe", wd.astype(cd), v4,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, lq, d).astype(jnp.float32)
+        if return_w:
+            return w, out
+        return out
+
+    qh = _split_heads(q.astype(cd), n_heads)
+    kh = _split_heads(k.astype(cd), n_heads)
+    vh = _split_heads(v.astype(cd), n_heads)
 
     # logits in fp32: (QKᵀ + add) / √(d/H)  — mask added pre-scale, as in
     # baddbmm at src/carca.py:253-254

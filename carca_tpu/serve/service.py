@@ -73,13 +73,13 @@ def load_catalog_for_run(args, cfg):
         from carca_tpu.data.loaders import load_dataset
         return load_dataset(args.data_dir, args.profile_file,
                             args.attr_file, args.ctx_file)
-    from carca_tpu.data.synthetic import (synthetic_catalog,
-                                          synthetic_catalog_device)
+    from carca_tpu.data.synthetic import synthetic_generator
     d = cfg.data
     # a device_pipeline training run generated its catalog with the device
-    # PRNG (cli.load_catalog) — regenerate with the same generator or the
-    # served attrs/contexts won't match the trained tables
-    gen = synthetic_catalog_device if d.device_pipeline else synthetic_catalog
+    # PRNG (cli.load_catalog) — regenerate with the same generator (and
+    # the same process, zipf vs markov) or the served attrs/contexts
+    # won't match the trained tables
+    gen = synthetic_generator(d.synthetic_process, device=d.device_pipeline)
     return gen(n_users=d.synthetic_users, n_real_items=d.synthetic_items,
                seed=d.synthetic_seed)
 

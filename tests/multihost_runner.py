@@ -9,11 +9,18 @@ jit inputs must be globalized (``put_if_multiprocess``), and only process
 
 Usage: python multihost_runner.py <proc_id> <port> <out_dir> <mode>
   mode: "host" (host batch pipeline + checkpointing),
-        "device" (device pipeline + scanned dispatch, checkpoint off), or
+        "device" (device pipeline + scanned dispatch, checkpoint off),
         "sharded" (2 devices per process, (2,2) model x data mesh with
         row-sharded tables — the 'model' axis is MAJOR in device order, so
         its groups pair device i of process 0 with device i of process 1
-        and the shard_map lookup gather+psum crosses the process boundary)
+        and the shard_map lookup gather+psum crosses the process boundary),
+        or the failure-recovery trio (SURVEY.md §5 — the reference loses
+        the whole run on any crash, src/train.py:117-124):
+        "failover_a" (long run, per-epoch latest/ snapshots — the parent
+        test KILLS this pair mid-run), "failover_b" (same run dir,
+        resume=True: must restore latest/ and finish), "failover_control"
+        (uninterrupted same-length run in a fresh dir — the bit-for-bit
+        yardstick the resumed run must match).
 Prints one ``RESULT {json}`` line on success.
 """
 
@@ -39,7 +46,9 @@ def main() -> None:
     from carca_tpu.data.synthetic import synthetic_catalog
     from carca_tpu.train.loop import fit
 
-    cat = synthetic_catalog(n_users=96, n_real_items=60, seed=5)
+    failover = mode.startswith("failover")
+    cat = synthetic_catalog(n_users=320 if failover else 96,
+                            n_real_items=60, seed=5)
     mc = ModelConfig(n_items=cat.n_items, n_attrs=cat.n_attrs,
                      n_ctx=cat.n_ctx, d=16, g=32, seq_len=8, target_len=12,
                      n_blocks=1, n_heads=2, dropout=0.0, decoder="ca")
@@ -50,15 +59,37 @@ def main() -> None:
                          out_dir=out_dir, mesh_shape=(2, 2),
                          mesh_axes=("model", "data"), shard_embeddings=True,
                          inner_steps=2, checkpoint=False)
+    elif failover:
+        # per-epoch latest/ snapshots; the _a phase runs "forever" (the
+        # parent kills it), _b resumes it to 3 epochs, control runs the
+        # same 3 epochs uninterrupted in its own directory
+        tc = TrainConfig(batch_size=16,
+                         epochs=99 if mode == "failover_a" else 3,
+                         early_stop=50, seed=0, out_dir=out_dir,
+                         mesh_shape=(2,), mesh_axes=("data",),
+                         inner_steps=8, checkpoint=True,
+                         checkpoint_interval=1,
+                         checkpoint_resume=(mode == "failover_b"))
     else:
         tc = TrainConfig(batch_size=16, epochs=2, early_stop=10, seed=0,
                          out_dir=out_dir, mesh_shape=(2,), mesh_axes=("data",),
                          inner_steps=2 if mode == "device" else 8,
                          checkpoint=(mode == "host"))
+    resumed_from = None
+    if mode == "failover_b":
+        # committed resume snapshots are pure-digit step dirs (orbax
+        # renames its *.orbax-checkpoint-tmp-* dir on commit)
+        import os as _os
+        latest = _os.path.join(out_dir, "ckpt", "latest")
+        steps = [int(d) for d in _os.listdir(latest) if d.isdigit()]
+        resumed_from = max(steps)
+        assert resumed_from >= 1, "no committed latest/ snapshot to resume"
     state, m = fit(Config(model=mc, data=dc, train=tc), cat)
     result = {"proc": proc_id,
               "val_hr": m["val_hr"], "val_ndcg": m["val_ndcg"],
               "test_ndcg": m["test_ndcg"], "epochs_run": m["epochs_run"]}
+    if resumed_from is not None:
+        result["resumed_from"] = resumed_from
     if mode == "sharded":
         # prove the items table really is row-sharded over the
         # cross-process 'model' axis: each process holds half the rows,
