@@ -336,6 +336,15 @@ def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
         raise ValueError(
             f"query batch {b} needs a >8 MB VMEM score tile even at the "
             f"minimum 128-column chunk; split the query batch instead")
+    b_req = b
+    if b < 8:
+        # pad the query batch to one full sublane tile: Mosaic mis-lowers
+        # the degenerate [C,d]·[b,d] dot for b < 8 on a bf16/int8 catalog
+        # ("'vector.broadcast' op ... same element type" verify error —
+        # hit by carca-serve's batch-1 bucket on the 10M int8 index,
+        # round 5; interpret-mode tests cannot catch it, CLAUDE.md)
+        q = jnp.pad(q, ((0, 8 - b), (0, 0)))
+        b = 8
     c_cap = max(group, (2_000_000 // max(b, 1)) // group * group)
     c = min(chunk, c_cap, _round_up(r, group))
     c = max(c // group * group, group)
@@ -505,7 +514,8 @@ def _tournament_topk(q, catalog_emb, scales, k: int, n_items, id_offset,
     lids = lids.reshape(b, ns * kc * group)
     v, sel = jax.lax.top_k(s2, k)
     cols = jnp.take_along_axis(lids, sel, axis=1)
-    return v, jnp.where(v > NEG_INF, cols + id_offset, 0)
+    return (v[:b_req],
+            jnp.where(v > NEG_INF, cols + id_offset, 0)[:b_req])
 
 
 def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, *rest):

@@ -160,6 +160,39 @@ def test_tournament_topk_exact_under_ties():
         np.testing.assert_array_equal(np.asarray(ids[bi]), order)
 
 
+def test_tournament_topk_tiny_batch():
+    """b < 8 pads the query batch to one sublane tile inside
+    _tournament_topk (Mosaic mis-lowers the degenerate dot for b<8 on a
+    bf16/int8 catalog — hit by carca-serve's batch-1 bucket, round 5).
+    Values/ids must be exact and the padded rows must not leak out."""
+    from carca_tpu.ops.retrieval_topk import catalog_topk, quantize_index
+    rng = np.random.default_rng(9)
+    e = jnp.asarray(rng.normal(size=(700, 16)), jnp.float32)
+    qi = quantize_index(e)
+    sd = None
+    for b in (1, 3, 7):
+        q = jnp.asarray(rng.normal(size=(b, 16)), jnp.float32)
+        v, ids = catalog_topk(q, qi, 6, method="tournament")
+        assert v.shape == (b, 6) and ids.shape == (b, 6)
+        sd = np.array(jnp.einsum(
+            "bd,rd->br", q.astype(jnp.bfloat16),
+            qi.qvals.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32) * qi.scales[0][None, :])
+        sd[:, 0] = -np.inf
+        for bi in range(b):
+            order = np.argsort(-sd[bi], kind="stable")[:6]
+            np.testing.assert_allclose(np.asarray(v[bi]), sd[bi][order],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(ids[bi]), order)
+        # f32 catalog too
+        vf, idf = catalog_topk(q, e, 6, method="tournament")
+        s = np.array(np.asarray(q) @ np.asarray(e).T)
+        s[:, 0] = -np.inf
+        for bi in range(b):
+            order = np.argsort(-s[bi], kind="stable")[:6]
+            np.testing.assert_array_equal(np.asarray(idf[bi]), order)
+
+
 def test_tournament_topk_huge_batch_single_chunk():
     """b > 2048 forces a <8-group chunk via the VMEM cap; when the whole
     padded catalog fits that one chunk the single-program grid is legal
