@@ -11,7 +11,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 BASE="--preset synthetic10m --synthetic_process markov --epochs 10
-      --early_stop 20 --eval_retrieval_every 1 --resume false --verbose 1"
+      --early_stop 20 --eval_retrieval_every 1 --resume false"
 
 run() {
   name=$1; shift
@@ -26,11 +26,13 @@ run() {
   done
 }
 
+# Recipe first: it carries the load-bearing claim (trained model beats the
+# popularity baseline on v2), so a problem surfaces in hour 1, not hour 7.
+run sm_k8_pop_sel --loss softmax --n_train_negatives 8 \
+    --neg_distribution popularity --select_by retrieval_hr
 run bce_k1
 run sm_k8_uni_sel --loss softmax --n_train_negatives 8 \
     --select_by retrieval_hr
-run sm_k8_pop_sel --loss softmax --n_train_negatives 8 \
-    --neg_distribution popularity --select_by retrieval_hr
 run sm_k8_pop_id --loss softmax --n_train_negatives 8 \
     --neg_distribution popularity --select_by retrieval_hr --embedding id
 echo "=== grid done $(date +%H:%M:%S) ==="
