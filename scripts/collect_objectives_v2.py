@@ -18,6 +18,14 @@ RUNS = {
     "sm_k8_pop_id": ("/tmp/r5v2_sm_k8_pop_id",
                      "recipe with --embedding id: the attr/ctx-machinery "
                      "ablation (src/carca.py:66-198 is what 'all' adds)"),
+    # extensions (scripts/run_v2_ext.sh): probing the 0.115 Bayes ceiling
+    "sm_k8_pop_cos": ("/tmp/r5v2_sm_k8_pop_cos",
+                      "recipe + cosine LR decay over the 10 epochs"),
+    "sm_k8_pop_lr3e4": ("/tmp/r5v2_sm_k8_pop_lr3e4",
+                        "recipe at base lr 3e-4 (vs default 1e-3)"),
+    "sm_k32_pop": ("/tmp/r5v2_sm_k32_pop",
+                   "recipe with K=32 negatives (saturation probe on "
+                   "non-saturated data)"),
 }
 
 out = {"preset": "synthetic10m", "synthetic_process": "markov",
@@ -29,7 +37,13 @@ out = {"preset": "synthetic10m", "synthetic_process": "markov",
                       "ceiling 0.1153 (6.5x headroom)",
        "note": ("identical v2 catalog/seed across runs. Offline rows are "
                 "scripts/eval_retrieval_offline.py on the retained "
-                "checkpoints (test split, k=10).")}
+                "checkpoints (test split, k=10)."),
+       "incidents": ("core-grid sm_k8_uni_sel hung >72 min in the "
+                     "post-epoch-1 orbax latest-save D2H (relay stall "
+                     "pattern, CLAUDE.md; documented envelope is "
+                     "10-35 min) and was killed; its ep1 best checkpoint "
+                     "committed and scored offline test-HR@10 0.0106 "
+                     "before the retry run replaced it.")}
 runs = {}
 for name, (d, desc) in RUNS.items():
     try:
