@@ -153,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "val NDCG (reference rule); retrieval_* = the "
                         "monitored full-catalog metric (needs "
                         "--eval_retrieval_every)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA (Polyak) weight averaging: 0 = off; d in "
+                        "(0, 1) evaluates/retains/serves the shadow "
+                        "d*shadow + (1-d)*params (drift mitigation, "
+                        "DESIGN 11e finding 11)")
     p.add_argument("--retrieval_index", type=str, default="seen",
                    choices=("seen", "full"),
                    help="retrieval index: seen = items with >=1 training "
@@ -178,6 +183,7 @@ _PRESET_OVERLAY = {
         "loss": "loss", "n_train_negatives": "n_train_negatives",
         "eval_retrieval_every": "eval_retrieval_every",
         "select_by": "select_by",
+        "ema_decay": "ema_decay",
     },
     "data": {
         "use_native": "use_native", "device_pipeline": "device_pipeline",
@@ -294,6 +300,7 @@ def config_from_args(args, n_items: int, n_attrs: int, n_ctx: int) -> Config:
         shard_embeddings=args.shard_embeddings,
         eval_retrieval_every=args.eval_retrieval_every,
         select_by=args.select_by,
+        ema_decay=args.ema_decay,
     )
     return Config(model=mc, data=dc, train=tc)
 

@@ -209,6 +209,21 @@ class TrainConfig:
     # early-stop decision only advances on monitored epochs; scale
     # early_stop accordingly.
     select_by: str = "ndcg"
+    # exponential moving average of the weights (Polyak averaging):
+    # 0.0 = off; d in (0, 1) keeps shadow = d*shadow + (1-d)*params after
+    # every optimizer step (seeded from the live weights, no bias
+    # correction), and ALL evaluation — sampled val, retrieval monitoring,
+    # best-checkpoint retention, final test — runs on the shadow. The
+    # retained best/ checkpoint therefore holds the EMA weights (what a
+    # deployment serves). Rationale: retrieval-objective runs collapse
+    # one-three epochs past their peak (DESIGN §11e finding 11: 0.0710 →
+    # 0.0012 by ep10), so retention must catch a fleeting per-epoch peak;
+    # an EMA both smooths the serve-quality curve between epoch
+    # boundaries and de-noises the peak itself. Costs one extra params
+    # copy in HBM plus a tree-map per step (with inner_steps > 1 the
+    # shadow updates once per fused dispatch with decay d**inner_steps —
+    # the K intermediate states never materialize off-device).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

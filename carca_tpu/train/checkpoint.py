@@ -51,6 +51,8 @@ class CheckpointKeeper:
     def __init__(self, directory: str, select_by: str = "ndcg"):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._dir = directory
+        self._ema = None  # lazily created: only EMA runs pay the manager
         # distinct barrier_sync_key_prefix per manager: on a multi-process
         # run both managers' async finalize threads sync through the jax
         # coordination service, and with the default (shared) key space an
@@ -108,14 +110,50 @@ class CheckpointKeeper:
                       "w") as fh:
                 json.dump(dict(metrics, epoch=epoch), fh)
 
-    def save_latest(self, epoch: int, state: Any) -> None:
-        """Refresh only the resume checkpoint (non-improving epochs)."""
+    def save_latest(self, epoch: int, state: Any, ema: Any = None) -> None:
+        """Refresh only the resume checkpoint (non-improving epochs).
+
+        ``ema`` (a params pytree) is the optional EMA shadow
+        (``TrainConfig.ema_decay``); it lives in a sibling ``ema/``
+        manager rather than inside the state tree so enabling/disabling
+        EMA never changes the on-disk structure of ``latest/`` (existing
+        resumes keep restoring against the plain TrainState template)."""
         self._latest.wait_until_finished()
         self._latest.save(epoch, args=ocp.args.StandardSave(state))
+        if ema is not None:
+            self._ema_manager().wait_until_finished()
+            self._ema_manager().save(epoch, args=ocp.args.StandardSave(ema))
+
+    def _ema_manager(self):
+        if self._ema is None:
+            self._ema = ocp.CheckpointManager(
+                os.path.join(self._dir, "ema"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    multiprocessing_options=ocp.options.MultiprocessingOptions(
+                        barrier_sync_key_prefix="ema"),
+                ),
+            )
+        return self._ema
+
+    def restore_latest_ema(self, template: Any) -> Optional[Any]:
+        """The EMA shadow saved alongside the latest resume state, or None
+        for runs that never saved one (fit re-seeds from the live weights
+        — exact for resumes interrupted before the first save_latest)."""
+        if not os.path.isdir(os.path.join(self._dir, "ema")):
+            return None
+        mgr = self._ema_manager()
+        mgr.wait_until_finished()
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        return mgr.restore(step, args=ocp.args.StandardRestore(template))
 
     def _wait(self) -> None:
         self._best.wait_until_finished()
         self._latest.wait_until_finished()
+        if self._ema is not None:
+            self._ema.wait_until_finished()
 
     def restore_latest(self, template: Any) -> Optional[Tuple[int, Any]]:
         self._wait()
@@ -149,3 +187,5 @@ class CheckpointKeeper:
         self._wait()
         self._best.close()
         self._latest.close()
+        if self._ema is not None:
+            self._ema.close()

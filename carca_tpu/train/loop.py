@@ -114,6 +114,19 @@ def eval_metrics(mc, top_k, params, batch, attrs_table, lookup=None):
     return hr, ndcg, loss
 
 
+@partial(jax.jit, donate_argnums=0)
+def ema_update(ema, params, decay):
+    """One EMA step: shadow = d·shadow + (1−d)·params, leafwise (Polyak
+    averaging, ``TrainConfig.ema_decay``). The old shadow is donated, so
+    the running copy costs ONE extra params-sized HBM residency, not two.
+    For fused multi-step dispatches fit passes ``decay**inner_steps``: the
+    K intermediate parameter states never leave the device, so the shadow
+    folds them into one geometric step (documented at the config knob)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema, params)
+
+
 def apply_gradients(tx, state, loss_fn, new_rng):
     """value_and_grad + optimizer update + state roll, shared by every
     train-step variant."""
@@ -722,6 +735,34 @@ def fit(
                 from carca_tpu.parallel.mesh import param_shardings
                 state = jax.device_put(
                     state, param_shardings(state, mesh, shard_emb))
+    # EMA shadow (TrainConfig.ema_decay): seeded from the live weights
+    # AFTER restore; a resumed run restores the shadow saved next to
+    # latest/ (exact resume) and falls back to re-seeding when none
+    # exists. jnp.copy, not an alias: ema_update donates the shadow, and
+    # donating buffers that still back state.params would invalidate the
+    # live weights on the first step.
+    ema_params = None
+    if tc.ema_decay:
+        if not 0.0 < tc.ema_decay <= 1.0:
+            raise ValueError(f"TrainConfig.ema_decay must be in (0, 1], "
+                             f"got {tc.ema_decay}")
+        if keeper is not None and start_epoch > 1:
+            ema_params = keeper.restore_latest_ema(state.params)
+            if ema_params is not None and mesh is not None:
+                from carca_tpu.parallel.mesh import param_shardings
+                ema_params = jax.device_put(
+                    ema_params, param_shardings(ema_params, mesh, shard_emb))
+        if ema_params is None:
+            ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
+    ema_d = jnp.float32(tc.ema_decay)
+    ema_dK = jnp.float32(tc.ema_decay ** max(tc.inner_steps, 1))
+
+    def ema_after(decay):
+        """Roll the shadow after one train-step dispatch (no-op when off)."""
+        nonlocal ema_params
+        if ema_params is not None:
+            ema_params = ema_update(ema_params, state.params, decay)
+
     # device-pipeline negative-rejection policy (DataConfig.exact_rejection):
     # reject against the user's full history (the reference's exact
     # protocol) unless histories are so long the all-pairs compare would
@@ -917,6 +958,7 @@ def fit(
                 if scanned_step is None:
                     state, loss = train_step(state, attrs_table, dd.arrays,
                                              jnp.asarray(rows, jnp.int32))
+                    ema_after(ema_d)
                     losses.append(loss)
                     note_batches(loss)
                     continue
@@ -925,12 +967,14 @@ def fit(
                     state, k_losses = scanned_step(
                         state, attrs_table, dd.arrays,
                         jnp.asarray(np.stack(pending), jnp.int32))
+                    ema_after(ema_dK)
                     losses.append(jnp.sum(k_losses))
                     note_batches(k_losses)
                     pending = []
             for rows in pending:  # remainder: single-step dispatches
                 state, loss = train_step(state, attrs_table, dd.arrays,
                                          jnp.asarray(rows, jnp.int32))
+                ema_after(ema_d)
                 losses.append(loss)
                 note_batches(loss)
         else:
@@ -941,6 +985,7 @@ def fit(
                         state, loss = train_step(state, attrs_table, batch)
                 else:
                     state, loss = train_step(state, attrs_table, batch)
+                ema_after(ema_d)
                 losses.append(loss)
                 note_batches(loss)
                 n_batches += 1
@@ -960,15 +1005,20 @@ def fit(
             logfile.write(f"{now};{epoch};train;{train_loss};;\n")
 
         t1 = time.perf_counter()
+        # under EMA, EVERYTHING downstream of training evaluates the
+        # shadow (sampled val, retrieval monitoring, retention, test):
+        # the shadow is what a deployment serves, so selection and
+        # early-stop must watch its curve, not the raw weights'
+        eparams = state.params if ema_params is None else ema_params
         if dd is not None:
             hr, ndcg, val_loss = evaluate_device(
-                eval_steps["val"], state.params, attrs_table, dd.arrays,
+                eval_steps["val"], eparams, attrs_table, dd.arrays,
                 val_users, tc.batch_size,
                 jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch),
                 scanned_step=scanned_evals["val"], inner_steps=tc.inner_steps)
         else:
             hr, ndcg, val_loss = evaluate(
-                eval_step, state.params, attrs_table, builder, val_users,
+                eval_step, eparams, attrs_table, builder, val_users,
                 tc.batch_size, ep_rng, "val")
         dt_eval = time.perf_counter() - t1
 
@@ -993,7 +1043,7 @@ def fit(
         rmetrics = None
         if retrieval_eval is not None and epoch % tc.eval_retrieval_every == 0:
             t2 = time.perf_counter()
-            rmetrics = retrieval_eval(state.params)
+            rmetrics = retrieval_eval(eparams)
             now = datetime.now().strftime("%H:%M:%S")
             emit(f"{now} - Epoch {epoch:03d}: Retrieval@{tc.top_k} (val) "
                  f"HR = {rmetrics['retrieval_val_hr']:.4f}, "
@@ -1024,7 +1074,11 @@ def fit(
                     if tc.select_by != "ndcg":
                         m.update(select=candidate, select_by=tc.select_by,
                                  **rmetrics)
-                    keeper.save(epoch, state, m)
+                    if ema_params is not None:
+                        m["ema_decay"] = tc.ema_decay
+                    # best/ holds the EVALUATED weights — the EMA shadow
+                    # when enabled (what test/serving must load)
+                    keeper.save(epoch, state.replace(params=eparams), m)
             else:
                 no_improve += 1
         # resume point (full state incl. optimizer moments) on its own
@@ -1033,7 +1087,7 @@ def fit(
         # window (interval=10 would otherwise leave epochs 1-9 unprotected)
         if keeper is not None and (epoch % max(tc.checkpoint_interval, 1) == 0
                                    or epoch == start_epoch):
-            keeper.save_latest(epoch, state)
+            keeper.save_latest(epoch, state, ema=ema_params)
         if no_improve >= tc.early_stop:
             emit(f"No improvement in {no_improve} epochs, early stopping...")
             break
@@ -1042,10 +1096,15 @@ def fit(
     # When the final epoch improved, the live state already IS the best
     # state — skip the disk round-trip (the 10M-item state is ~5 GB each
     # way; the saved copy is byte-identical to what's in memory)
-    if keeper is not None and best_in_memory != epoch:
-        restored = keeper.restore_best(state)
-        if restored is not None:
-            state = restored[1]
+    restored = (keeper.restore_best(state)
+                if keeper is not None and best_in_memory != epoch else None)
+    if restored is not None:
+        state = restored[1]
+    elif ema_params is not None:
+        # the live shadow IS the weights the last improving epoch
+        # evaluated/saved — no disk round-trip, mirroring the raw-params
+        # fast path above
+        state = state.replace(params=ema_params)
     if len(test_users) and tc.test:
         if dd is not None:
             hr, ndcg, test_loss = evaluate_device(
