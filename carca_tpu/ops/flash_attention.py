@@ -40,6 +40,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from carca_tpu.ops.precision import contract_precision
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_MASK = -(2.0**32) + 1.0  # src/carca.py:251
@@ -82,7 +83,8 @@ def _weights_block(cfg: _AttnConfig, q, k, qm, km, row0: jnp.ndarray):
     cd = jnp.dtype(cfg.compute_dtype)
     s = jax.lax.dot_general(q.astype(cd), k.astype(cd),
                             dimension_numbers=_BATCHED_QKT,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+        precision=contract_precision(cd))
     m = qm[:, :, None] * km[:, None, :]
     if cfg.causal is not None:
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bb, bq, lk), 1)
@@ -121,7 +123,8 @@ def _fwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
         w = jnp.where(keep_mask, w * (1.0 / (1.0 - cfg.dropout_rate)), 0.0)
     o_ref[:, 0] = jax.lax.dot_general(
         w.astype(cd), v.astype(cd), dimension_numbers=_BATCHED_PV,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=contract_precision(cd))
 
 
 def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
@@ -138,7 +141,8 @@ def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
     # dO → through dropout → through re-mask → softmax jacobian → QKᵀ
     dwd = jax.lax.dot_general(  # dO Vᵀ : [BB, BQ, Lk]
         do.astype(cd), v.astype(cd), dimension_numbers=_BATCHED_QKT,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=contract_precision(cd))
     if cfg.dropout_rate > 0.0:
         keep_mask = _dropout_bits(cfg, seed_ref, dwd.shape)
         inv_keep = 1.0 / (1.0 - cfg.dropout_rate)
@@ -154,7 +158,8 @@ def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
     dsc = ds.astype(cd)
     dq_ref[:, 0] = jax.lax.dot_general(  # dS K : [BB, BQ, dh]
         dsc, k.astype(cd), dimension_numbers=_BATCHED_PV,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=contract_precision(cd))
 
     @pl.when(i == 0)
     def _():
@@ -163,10 +168,12 @@ def _bwd_kernel(cfg: _AttnConfig, seed_ref, q_ref, k_ref, v_ref, qm_ref,
 
     dk_ref[:, 0] += jax.lax.dot_general(  # dSᵀ Q : [BB, Lk, dh]
         dsc, q.astype(cd), dimension_numbers=_BATCHED_T,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=contract_precision(cd))
     dv_ref[:, 0] += jax.lax.dot_general(  # (wd)ᵀ dO : [BB, Lk, dh]
         wd.astype(cd), do.astype(cd), dimension_numbers=_BATCHED_T,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=contract_precision(cd))
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,7 @@ from typing import NamedTuple, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from carca_tpu.ops.precision import contract_precision
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
@@ -205,12 +206,16 @@ def _groupmax_kernel(chunk: int, group: int, lim_ref, q_ref, e_ref, *rest):
     # selection stage and the rerank run f32 at HIGHEST. bf16 operands
     # must NOT carry the flag — Mosaic rejects fp32 contract precision on
     # bf16 lhs ("Bad lhs type"); their products are exact either way.
+    # Explicit DEFAULT, not None: None INHERITS the ambient
+    # jax_default_matmul_precision, and the test conftest pins that to
+    # "highest" — which put fp32 contract precision right back on the
+    # bf16 dots and broke every kernel test on real hardware (round 5).
     s = jax.lax.dot_general(
         e.astype(cd), q.astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=(jax.lax.Precision.HIGHEST if cd == jnp.float32
-                   else None),
+                   else jax.lax.Precision.DEFAULT),
     )  # [C, B]
     if scl_ref is not None:
         s = s * scl_ref[:]  # [C, 1] per-row dequantization scales
@@ -259,7 +264,7 @@ def _groupmax_bq_kernel(chunk: int, group: int, quad: int, lim_ref, q_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=(jax.lax.Precision.HIGHEST if cd == jnp.float32
-                   else None),
+                   else jax.lax.Precision.DEFAULT),
     )  # [B, C]
     if scl_ref is not None:
         s = s * scl_ref[:]  # [1, C] per-row dequantization scales
@@ -541,6 +546,7 @@ def _kernel(k: int, chunk: int, lim_ref, q_ref, e_ref, *rest):
         q.astype(cd), e.astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=contract_precision(cd),
     )  # [B, C] — int8 magnitudes ≤ 127 are exact in bf16
     if scl_ref is not None:
         s = s * scl_ref[:]  # [1, C] per-row dequantization scales

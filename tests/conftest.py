@@ -54,3 +54,19 @@ if not _NEEDS_REEXEC and not _WANT_TPU:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def skip_unless_devices(n: int) -> None:
+    """Guard for tests that build an n-device mesh in-process. On the
+    default CPU platform the conftest forces 8 virtual devices, so these
+    always run; on a real-hardware suite run (``CARCA_TEST_PLATFORM=tpu``,
+    one chip here) they skip with a justification instead of failing
+    inside ``make_mesh`` — the sharding semantics they check are
+    platform-independent and fully covered by the virtual mesh, while the
+    hardware run exists to catch Mosaic lowering/precision issues the CPU
+    cannot (CLAUDE.md numerical traps)."""
+    import pytest
+    if jax.device_count() < n:
+        pytest.skip(f"needs {n} devices, platform has {jax.device_count()} "
+                    f"(sharding is validated on the 8-virtual-device CPU "
+                    f"mesh)")

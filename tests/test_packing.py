@@ -10,6 +10,7 @@ import pytest
 from carca_tpu.config import ModelConfig
 from carca_tpu.ops.packed_table import (lookup_maybe_packed, pack_factor,
                                         pack_rows, unpack_rows)
+from tests.conftest import skip_unless_devices
 
 
 def test_pack_factor_rules():
@@ -98,6 +99,7 @@ def test_model_identical_packed_vs_plain(embedding):
 def test_packed_through_sharded_lookup():
     """Packing composes with the row-sharded shard_map lookup: packed rows
     are still rows."""
+    skip_unless_devices(8)
     from carca_tpu.parallel import make_mesh, make_sharded_lookup
     from carca_tpu.parallel.mesh import pad_table_rows
 

@@ -22,6 +22,7 @@ from carca_tpu.parallel import (
 from carca_tpu.parallel.mesh import pad_table_rows, prepare_state_for_mesh
 from carca_tpu.train.loop import make_eval_step, make_train_step
 from carca_tpu.train.state import create_train_state, make_optimizer
+from tests.conftest import skip_unless_devices
 
 
 def _setup(batch=16, seq=8, users=64, items=50):
@@ -46,6 +47,7 @@ def test_sharded_train_step_matches_single_device():
     reduction → 1e-6-level FP noise). Params-after-Adam are not compared:
     Adam's g/(√g²+ε) normalization amplifies that noise unboundedly for
     near-zero-gradient leaves."""
+    skip_unless_devices(8)
     from carca_tpu.models.carca import carca_apply
     from carca_tpu.models.losses import masked_bce
     from carca_tpu.utils.masking import get_mask
@@ -95,6 +97,7 @@ def test_sharded_train_step_matches_single_device():
 
 
 def test_sharded_eval_step_matches_single_device():
+    skip_unless_devices(8)
     cat, mc, tc, _, ebatch = _setup()
     tx = make_optimizer(tc)
     attrs = jnp.asarray(cat.attrs)
@@ -110,6 +113,7 @@ def test_sharded_eval_step_matches_single_device():
 
 
 def test_sharded_lookup_matches_gather_and_grads():
+    skip_unless_devices(8)
     mesh = make_mesh((2, 4), ("data", "model"))
     key = jax.random.PRNGKey(0)
     table = jax.random.normal(key, (37, 12))  # ragged rows → padding path
@@ -130,6 +134,7 @@ def test_sharded_lookup_matches_gather_and_grads():
 def test_full_sharded_step_with_sharded_tables_and_device_negatives():
     """The at-scale path: (data, model) mesh, row-sharded tables, on-device
     negative sampling — one step must run and stay finite."""
+    skip_unless_devices(8)
     cat, mc, tc, batch, _ = _setup()
     mesh = make_mesh((4, 2), ("data", "model"))
     tx = make_optimizer(tc)
@@ -204,6 +209,7 @@ def test_sharded_device_step_matches_single_device():
     """The device-pipeline step over an 8-way mesh is op-for-op the
     single-device device step (same RNG threading, replicated catalog,
     P('data') rows) — loss and updated params must agree to FP noise."""
+    skip_unless_devices(8)
     from carca_tpu.data.device_pipeline import DeviceDataset
     from carca_tpu.parallel.step import make_sharded_device_train_step
     from carca_tpu.train.loop import make_device_train_step

@@ -13,6 +13,7 @@ from carca_tpu.models.carca import carca_init
 from carca_tpu.parallel.mesh import make_mesh, pad_table_rows
 from carca_tpu.parallel.retrieval import (embed_catalog, full_catalog_topk,
                                           retrieval_hr_ndcg)
+from tests.conftest import skip_unless_devices
 
 
 @pytest.fixture(scope="module", params=["dot", "wdot"])
@@ -32,6 +33,7 @@ def setup(request):
 
 
 def test_sharded_topk_matches_single_device(setup):
+    skip_unless_devices(8)
     mc, params, profile, attrs = setup
     k = 10
     v0, i0 = full_catalog_topk(params, mc, profile, attrs, k)
@@ -330,6 +332,7 @@ def test_full_catalog_topk_kernel_equals_xla(setup):
 
 
 def test_sharded_kernel_topk_matches_single_device(setup):
+    skip_unless_devices(8)
     mc, params, profile, attrs = setup
     k = 6
     v0, i0 = full_catalog_topk(params, mc, profile, attrs, k, use_kernel=True)
@@ -668,6 +671,7 @@ def test_sharded_serving_index_matches_single_device():
     """A Recommender whose stage-1 index is row-sharded over the model
     axis returns the same recommendations as the single-device one —
     float and int8, full and seen-only indexes."""
+    skip_unless_devices(8)
     from carca_tpu.serve.recommender import Recommender
 
     cat = synthetic_catalog(n_users=48, n_real_items=333, seed=3)
