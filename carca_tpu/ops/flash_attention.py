@@ -84,7 +84,7 @@ def _weights_block(cfg: _AttnConfig, q, k, qm, km, row0: jnp.ndarray):
     s = jax.lax.dot_general(q.astype(cd), k.astype(cd),
                             dimension_numbers=_BATCHED_QKT,
                             preferred_element_type=jnp.float32,
-        precision=contract_precision(cd))
+                            precision=contract_precision(cd))
     m = qm[:, :, None] * km[:, None, :]
     if cfg.causal is not None:
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bb, bq, lk), 1)
